@@ -1,0 +1,244 @@
+"""Query engine: BM25 top-k over the compressed, document-sharded postings.
+
+Query lifecycle (SURVEY.md §3.1 rebuild):
+  query string -> query-mode analyzer (X8: '+'->' ', lowercase, split)
+  -> optional fuzzy rewrite (fuzzy.py) -> term df/idf lookup (term_stats,
+  pruned to the query's terms) -> postings scan filtered by term (parquet
+  row-group skipping: postings are written sorted by term within each shard
+  partition) -> per-shard scoring (cogrouped with that shard's doc_len
+  array) -> global top-k merge (TakeOrderedAndProject) -> metadata join.
+
+Two scorers, both vectorized numpy inside applyInPandas:
+  * exhaustive — decode every candidate block, dense-accumulate scores in
+    ascending term order (the frozen float order; bit-identical to the
+    oracle).
+  * bmw — block-max WAND (segment form): per-term block upper bounds
+    (idf * block_max_tf) are swept into disjoint doc-id segments; segments
+    are scored in descending upper-bound order and scoring stops once the
+    running top-k threshold exceeds the next segment's bound. Docs in
+    skipped segments are strictly below the kth score, so the result —
+    including tie-breaks — is identical to exhaustive (asserted in tests).
+
+Per-shard independence is what scales: every query term's postings for a
+shard are colocated, so N -> 4N executors just spreads shards, and the only
+cross-executor traffic is the k-row-per-shard merge.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from . import codec
+from .analyzer import tokenize_query
+from .scoring import bm25_idf, bm25_tfpart
+from .tables import Warehouse
+
+RESULT_SCHEMA = "shard int, doc_id long, score double, match_count int"
+
+
+class SearchEngine:
+    def __init__(self, spark: SparkSession, warehouse: str | Warehouse, cache: bool = True):
+        self.spark = spark
+        self.wh = warehouse if isinstance(warehouse, Warehouse) else Warehouse(warehouse)
+        cs = self.wh.read(spark, "corpus_stats").collect()[0]
+        self.n_docs = int(cs["n_docs"])
+        self.sum_dl = int(cs["sum_dl"])
+        self.avgdl = float(self.sum_dl) / float(self.n_docs) if self.n_docs else 1.0
+        self.postings = self.wh.read(spark, "postings")
+        self.doc_lens = self.wh.read(spark, "doc_lens")
+        self.term_stats = self.wh.read(spark, "term_stats")
+        self.doc_stats = self.wh.read(spark, "doc_stats")
+        if cache:
+            self.postings = self.postings.persist()
+            self.doc_lens = self.doc_lens.persist()
+            self.term_stats = self.term_stats.persist()
+
+    # ------------------------------------------------------------------
+    def term_dfs(self, terms: list[str]) -> dict[str, int]:
+        if not terms:
+            return {}
+        rows = self.term_stats.filter(F.col("term").isin(terms)).collect()
+        return {r["term"]: int(r["df"]) for r in rows}
+
+    def search(
+        self, query: str, k: int = 20, mode: str = "bmw", enrich: bool = False
+    ) -> DataFrame:
+        """Top-k BM25. Returns (rank, doc_id, score, match_count [+meta])."""
+        terms = sorted(set(tokenize_query(query)))
+        dfs = self.term_dfs(terms)
+        present = sorted(t for t in terms if dfs.get(t, 0) > 0)
+        if not present:
+            return self._empty(enrich)
+        idf = {t: float(bm25_idf(self.n_docs, dfs[t])) for t in present}
+        avgdl = self.avgdl
+        cand = self.postings.filter(F.col("term").isin(present))
+        fn = _make_scorer(idf, avgdl, k, mode)
+        scored = (
+            cand.groupBy("shard")
+            .cogroup(self.doc_lens.groupBy("shard"))
+            .applyInPandas(fn, RESULT_SCHEMA)
+        )
+        top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        out = top.withColumn("rank", F.row_number().over(w)).select(
+            "rank", "doc_id", "score", "match_count"
+        )
+        return self.enrich(out) if enrich else out
+
+    def enrich(self, topk: DataFrame) -> DataFrame:
+        """J2: left-join doc metadata onto the (tiny) top-k —
+        QuerySearchController.php:307-336 semantics."""
+        meta = self.doc_stats.select("doc_id", "repo", "path", "commit", "lang", "doc_len")
+        return (
+            F.broadcast(topk).join(meta, "doc_id", "left")
+            .orderBy("rank")
+            .select("rank", "doc_id", "score", "match_count", "repo", "path", "commit", "lang", "doc_len")
+        )
+
+    def _empty(self, enrich: bool) -> DataFrame:
+        cols = "rank int, doc_id long, score double, match_count int"
+        if enrich:
+            cols += ", repo string, path string, commit string, lang string, doc_len int"
+        return self.spark.createDataFrame([], cols)
+
+
+# ---------------------------------------------------------------------------
+
+
+def _make_scorer(idf: dict[str, float], avgdl: float, k: int, mode: str):
+    terms_sorted = sorted(idf)
+
+    def score_shard(postings_pdf: pd.DataFrame, lens_pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(postings_pdf) == 0 or len(lens_pdf) == 0:
+            return pd.DataFrame(columns=["shard", "doc_id", "score", "match_count"])
+        shard = int(postings_pdf["shard"].iloc[0])
+        first_doc = int(lens_pdf["first_doc"].iloc[0])
+        n_sh = int(lens_pdf["n_docs"].iloc[0])
+        dls = codec.varint_decode(lens_pdf["doc_lens"].iloc[0], n_sh)
+        if mode == "exhaustive":
+            docs, scores, matches = _score_exhaustive(
+                postings_pdf, terms_sorted, idf, avgdl, first_doc, n_sh, dls, k
+            )
+        else:
+            docs, scores, matches = _score_bmw(
+                postings_pdf, terms_sorted, idf, avgdl, first_doc, n_sh, dls, k
+            )
+        return pd.DataFrame(
+            {
+                "shard": np.full(len(docs), shard, dtype=np.int32),
+                "doc_id": docs,
+                "score": scores,
+                "match_count": matches.astype(np.int32),
+            }
+        )
+
+    return score_shard
+
+
+def _topk_select(local_hits: np.ndarray, scores: np.ndarray, matches: np.ndarray, first_doc: int, k: int):
+    order = np.lexsort((local_hits, -scores[local_hits]))[:k]
+    sel = local_hits[order]
+    return (sel + first_doc).astype(np.int64), scores[sel], matches[sel]
+
+
+def _score_exhaustive(pdf, terms_sorted, idf, avgdl, first_doc, n_sh, dls, k):
+    scores = np.zeros(n_sh, dtype=np.float64)
+    matches = np.zeros(n_sh, dtype=np.int64)
+    by_term = {t: g for t, g in pdf.groupby("term", sort=False)}
+    for t in terms_sorted:  # frozen accumulation order
+        g = by_term.get(t)
+        if g is None:
+            continue
+        w = idf[t]
+        for _, row in g.sort_values("block_id").iterrows():
+            n = int(row["n_docs"])
+            ids = codec.decode_doc_ids(row["doc_ids"], n)
+            tfs = codec.decode_tfs(row["tfs"], n)
+            loc = ids - first_doc
+            scores[loc] += w * bm25_tfpart(tfs, dls[loc], avgdl)
+            matches[loc] += 1
+    hits = np.flatnonzero(matches > 0)
+    if hits.size == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0), np.zeros(0, dtype=np.int64)
+    return _topk_select(hits, scores, matches, first_doc, k)
+
+
+def _score_bmw(pdf, terms_sorted, idf, avgdl, first_doc, n_sh, dls, k):
+    """Segment-form block-max WAND. Doc space is cut at every block
+    boundary; each segment's bound = Σ over terms of the overlapping
+    block's idf*block_max_tf. Segments are scored (exactly, in ascending
+    term order) in descending-bound order; once k results exist and the
+    next bound < kth score, remaining segments cannot place (strictly —
+    so tie-breaking matches exhaustive)."""
+    blocks: list[tuple] = []  # (term_rank, lo, hi, ub, ids_bin, tfs_bin, n)
+    for rank_t, t in enumerate(terms_sorted):
+        g = pdf[pdf["term"] == t]
+        for _, row in g.iterrows():
+            ub = idf[t] * float(row["block_max_tf"])
+            blocks.append(
+                (rank_t, int(row["first_doc"]), int(row["last_doc"]), ub,
+                 row["doc_ids"], row["tfs"], int(row["n_docs"]))
+            )
+    if not blocks:
+        return np.zeros(0, dtype=np.int64), np.zeros(0), np.zeros(0, dtype=np.int64)
+    bounds = sorted({b[1] for b in blocks} | {b[2] + 1 for b in blocks})
+    edges = np.asarray(bounds, dtype=np.int64)
+    seg_ub = np.zeros(len(edges) - 1, dtype=np.float64)
+    for b in blocks:
+        i0 = np.searchsorted(edges, b[1])
+        i1 = np.searchsorted(edges, b[2] + 1)
+        seg_ub[i0:i1] += b[3]
+    seg_order = np.argsort(-seg_ub, kind="stable")
+
+    decoded: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    out_docs: list[np.ndarray] = []
+    out_scores: list[np.ndarray] = []
+    out_matches: list[np.ndarray] = []
+    theta = -np.inf
+    n_found = 0
+    for si in seg_order:
+        if seg_ub[si] <= 0:
+            break
+        if n_found >= k and seg_ub[si] < theta:
+            break
+        lo, hi = int(edges[si]), int(edges[si + 1]) - 1
+        seg_len = hi - lo + 1
+        sc = np.zeros(seg_len, dtype=np.float64)
+        mc = np.zeros(seg_len, dtype=np.int64)
+        for bi, b in enumerate(blocks):  # blocks iterate in term order
+            if b[1] > hi or b[2] < lo:
+                continue
+            if bi not in decoded:
+                decoded[bi] = (
+                    codec.decode_doc_ids(b[4], b[6]),
+                    codec.decode_tfs(b[5], b[6]),
+                )
+            ids, tfs = decoded[bi]
+            m = (ids >= lo) & (ids <= hi)
+            if not m.any():
+                continue
+            sids = ids[m]
+            loc = sids - first_doc
+            sc[sids - lo] += idf[terms_sorted[b[0]]] * bm25_tfpart(tfs[m], dls[loc], avgdl)
+            mc[sids - lo] += 1
+        hit = np.flatnonzero(mc > 0)
+        if hit.size == 0:
+            continue
+        out_docs.append((hit + lo).astype(np.int64))
+        out_scores.append(sc[hit])
+        out_matches.append(mc[hit])
+        n_found += hit.size
+        if n_found >= k:
+            allsc = np.concatenate(out_scores)
+            theta = np.partition(allsc, allsc.size - k)[allsc.size - k] if allsc.size >= k else -np.inf
+    if not out_docs:
+        return np.zeros(0, dtype=np.int64), np.zeros(0), np.zeros(0, dtype=np.int64)
+    docs = np.concatenate(out_docs)
+    scores = np.concatenate(out_scores)
+    matches = np.concatenate(out_matches)
+    order = np.lexsort((docs, -scores))[:k]
+    return docs[order], scores[order], matches[order]

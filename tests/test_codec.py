@@ -1,0 +1,51 @@
+"""Codec round-trip + property tests (SURVEY.md §5.2 item 4)."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from moogle_spark import codec
+
+
+@given(st.lists(st.integers(min_value=0, max_value=2**62), min_size=1, max_size=500))
+@settings(max_examples=100, deadline=None)
+def test_varint_roundtrip(vals):
+    arr = np.asarray(vals, dtype=np.int64)
+    assert (codec.varint_decode(codec.varint_encode(arr), len(arr)) == arr).all()
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=10**12), min_size=1, max_size=300, unique=True)
+)
+@settings(max_examples=100, deadline=None)
+def test_doc_ids_roundtrip(ids):
+    arr = np.sort(np.asarray(ids, dtype=np.int64))
+    assert (codec.decode_doc_ids(codec.encode_doc_ids(arr), len(arr)) == arr).all()
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=10**6), min_size=0, max_size=40),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_positions_roundtrip(poslists):
+    pos = [np.sort(np.asarray(sorted(set(p)), dtype=np.int64)) for p in poslists]
+    buf = codec.encode_positions(pos)
+    total = len(pos) + sum(len(p) for p in pos)
+    back = codec.decode_positions(buf, len(pos), total)
+    assert len(back) == len(pos)
+    for a, b in zip(pos, back):
+        assert (a == b).all()
+
+
+def test_empty_varint():
+    assert codec.varint_encode(np.zeros(0, dtype=np.int64)) == b""
+    assert codec.varint_decode(b"", 0).size == 0
+
+
+def test_compression_beats_raw():
+    ids = np.cumsum(np.random.default_rng(7).integers(1, 64, 128))
+    assert len(codec.encode_doc_ids(ids)) < 128 * 8 // 4

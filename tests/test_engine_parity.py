@@ -1,0 +1,65 @@
+"""The correctness gate: the Spark engine must be rank-identical in doc_ids
+AND equal in BM25 scores to the single-node oracle on the reference query
+set (BASELINE.json north_star; SURVEY.md §5.2 item 2). Both scorer modes
+(exhaustive and block-max WAND) are checked."""
+
+import numpy as np
+import pytest
+
+from moogle_spark.corpus import reference_queries
+from moogle_spark.oracle import oracle_search
+from moogle_spark.query import SearchEngine
+
+QUERIES = [q["query"] for q in reference_queries()][:18]
+
+
+@pytest.fixture(scope="module")
+def engine(spark, built_warehouse):
+    return SearchEngine(spark, built_warehouse)
+
+
+def _check(engine, oracle_index, query, mode, k=20):
+    got = engine.search(query, k=k, mode=mode).toPandas()
+    exp = oracle_search(oracle_index, query, k=k)
+    assert list(got["doc_id"]) == list(exp["doc_id"]), f"{query!r} [{mode}] doc_ids differ"
+    if len(exp):
+        assert np.allclose(
+            got["score"].to_numpy(np.float64), exp["score"].to_numpy(np.float64), atol=1e-9
+        ), f"{query!r} [{mode}] scores differ"
+        assert list(got["match_count"]) == list(exp["match_count"])
+
+
+@pytest.mark.parametrize("query", QUERIES)
+def test_exhaustive_matches_oracle(engine, oracle_index, query):
+    _check(engine, oracle_index, query, "exhaustive")
+
+
+@pytest.mark.parametrize("query", QUERIES)
+def test_bmw_matches_oracle(engine, oracle_index, query):
+    _check(engine, oracle_index, query, "bmw")
+
+
+def test_scores_bit_identical(engine, oracle_index):
+    """Stronger than atol: the frozen accumulation order makes scores
+    bit-identical, which is what guarantees rank stability under ties."""
+    got = engine.search("hotterm0 hotterm1", k=20).toPandas()
+    exp = oracle_search(oracle_index, "hotterm0 hotterm1", k=20)
+    assert got["score"].to_numpy(np.float64).tobytes() == exp["score"].to_numpy(np.float64).tobytes()
+
+
+def test_corpus_scalars_match(engine, oracle_index):
+    assert engine.n_docs == oracle_index.n_docs
+    assert engine.sum_dl == oracle_index.sum_dl
+
+
+def test_enrichment_join(engine):
+    out = engine.search("hotterm0", k=5, enrich=True).toPandas()
+    assert len(out) == 5
+    assert {"repo", "path", "lang", "doc_len"} <= set(out.columns)
+    assert out["repo"].notna().all()
+
+
+def test_absent_and_stopword_queries_empty(engine, oracle_index):
+    for q in ["zzqqxxnosuchterm", "the and of"]:
+        assert engine.search(q, k=10).count() == 0
+        assert len(oracle_search(oracle_index, q, k=10)) == 0
