@@ -1,38 +1,675 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (full engine: index build with
+compressed block postings + BM25 block-max-WAND search) on sf0.001.
+``queries()`` maps every implemented operator from SURVEY.md §2 (plus the
+training-data pipeline ops) onto the driver's parquet tables;
+``oracle_sql()`` gives the DuckDB-equivalent SQL for each.  Column names
+and roundings are aligned pairwise; floats are rounded identically on
+both sides before ordering/limits so top-k membership is deterministic.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+QUERY_TERMS = ["spark", "hash", "merge", "window"]
+FUZZY_WORDS = ["sparc", "tble", "haash", "quer"]
+K = 20
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    row = _emb(spark, sf_dir).filter(F.col("vec_id") == 0).select("embedding").collect()[0]
+    return [float(x) for x in row["embedding"]]
+
+
+# ---------------------------------------------------------------------------
+# flagship: the real engine (compressed postings + WAND)
+
+
+def _engine_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from moogle_spark.build import build_index
+    from moogle_spark.corpus import docs_from_driver_documents
+    from moogle_spark.query import SearchEngine
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    wh = f"/tmp/moogle_entry_wh_{tag}"
+    docs = docs_from_driver_documents(spark, sf_dir)
+    build_index(spark, docs, wh)  # committed stages are skipped on re-run
+    eng = SearchEngine(spark, wh, cache=False)
+    return eng.search(" ".join(QUERY_TERMS), k=K, enrich=True)
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return _engine_search(spark, "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# Spark-side query callables
+
+
+def _q_tf(spark, sf_dir):
+    from moogle_spark.textops import term_frequencies
+
+    return term_frequencies(_docs(spark, sf_dir)).filter(F.col("tf") >= 3)
+
+
+def _q_df(spark, sf_dir):
+    from moogle_spark.textops import document_frequency
+
+    return document_frequency(_docs(spark, sf_dir))
+
+
+def _q_idf(spark, sf_dir):
+    from moogle_spark.textops import idf_reference
+
+    return idf_reference(_docs(spark, sf_dir))
+
+
+def _q_tfidf(spark, sf_dir):
+    from moogle_spark.textops import tfidf_weights
+
+    return tfidf_weights(_docs(spark, sf_dir), min_tf=2)
+
+
+def _q_search_tfidf(spark, sf_dir):
+    from moogle_spark.textops import search_group_sum
+
+    return search_group_sum(_docs(spark, sf_dir), QUERY_TERMS, k=K)
+
+
+def _q_search_bm25(spark, sf_dir):
+    from moogle_spark.textops import bm25_search
+
+    return bm25_search(_docs(spark, sf_dir), QUERY_TERMS, k=K)
+
+
+def _q_total_hits(spark, sf_dir):
+    from moogle_spark.textops import total_hits
+
+    return total_hits(_docs(spark, sf_dir), QUERY_TERMS)
+
+
+def _q_vocab(spark, sf_dir):
+    from moogle_spark.textops import vocabulary_stats
+
+    return vocabulary_stats(_docs(spark, sf_dir))
+
+
+def _q_top_terms(spark, sf_dir):
+    from moogle_spark.textops import top_terms_per_doc
+
+    return top_terms_per_doc(_docs(spark, sf_dir), top_k=5, max_doc=100)
+
+
+def _q_source_boost(spark, sf_dir):
+    from moogle_spark.textops import source_boosted_tf
+
+    return source_boosted_tf(_docs(spark, sf_dir))
+
+
+def _q_random_page(spark, sf_dir):
+    from moogle_spark.textops import deterministic_sample
+
+    return deterministic_sample(_docs(spark, sf_dir), n=1)
+
+
+def _q_fuzzy(spark, sf_dir):
+    from moogle_spark.fuzzy import dictionary_from_docs, suggest_terms
+    from moogle_spark.textops import doc_terms
+
+    dictionary = dictionary_from_docs(doc_terms(_docs(spark, sf_dir)))
+    return suggest_terms(dictionary, FUZZY_WORDS, per_word=5)
+
+
+def _q_top_searches(spark, sf_dir):
+    from moogle_spark.analytics import top_searches
+
+    return top_searches(_events(spark, sf_dir), "event_type", k=10)
+
+
+def _q_suggestions(spark, sf_dir):
+    from moogle_spark.analytics import search_suggestions
+
+    return search_suggestions(_events(spark, sf_dir), "s", "event_type", k=10)
+
+
+def _q_daily(spark, sf_dir):
+    from moogle_spark.analytics import daily_search_counts
+
+    return daily_search_counts(_events(spark, sf_dir))
+
+
+def _q_hourly(spark, sf_dir):
+    from moogle_spark.analytics import windowed_counts
+
+    return windowed_counts(_events(spark, sf_dir), "ts", "event_type", "1 hour")
+
+
+def _q_page_connections(spark, sf_dir):
+    from moogle_spark.linkgraph import page_connections
+
+    return page_connections(spark, sf_dir, max_custkey=200)
+
+
+def _q_pagerank(spark, sf_dir):
+    from moogle_spark.linkgraph import tpch_edges
+    from moogle_spark.pagerank import pagerank
+
+    pr = pagerank(tpch_edges(spark, sf_dir))
+    return pr.select("doc_id", F.round("rank", 8).alias("rank")).orderBy("doc_id")
+
+
+def _q_top_ranked(spark, sf_dir):
+    from moogle_spark.linkgraph import tpch_edges
+    from moogle_spark.pagerank import pagerank
+
+    pr = pagerank(tpch_edges(spark, sf_dir))
+    return (
+        pr.select("doc_id", F.round("rank", 8).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("doc_id"))
+        .limit(5)
+    )
+
+
+def _q_score_blend(spark, sf_dir):
+    from moogle_spark.linkgraph import tpch_edges
+    from moogle_spark.pagerank import pagerank
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    spend = orders.groupBy(F.col("o_custkey").cast("long").alias("doc_id")).agg(
+        F.round(F.sum("o_totalprice") / 100000.0, 6).alias("score")
+    )
+    pr = pagerank(tpch_edges(spark, sf_dir))
+    r = F.coalesce(F.col("rank"), F.lit(0.0))
+    return (
+        spend.join(pr, "doc_id", "left")
+        .select(
+            "doc_id",
+            "score",
+            F.round(r, 8).alias("rank"),
+            F.round(0.6 * F.col("score") + 0.4 * r, 6).alias("combined"),
+        )
+        .orderBy(F.desc("combined"), F.asc("doc_id"))
+        .limit(50)
+    )
+
+
+def _q_pricing_summary(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).cast("long").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def _q_top_revenue(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "c_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def _q_dedup_exact(spark, sf_dir):
+    from moogle_spark.dedup import exact_duplicate_groups
+
+    return exact_duplicate_groups(_docs(spark, sf_dir))
+
+
+def _q_jaccard(spark, sf_dir):
+    from moogle_spark.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.1)
+
+
+def _q_minhash_sig(spark, sf_dir):
+    from moogle_spark.dedup import minhash_signatures
+
+    sig = minhash_signatures(_docs(spark, sf_dir), n=3, num_hashes=4)
+    return sig.select(
+        "doc_id", *[F.col("sig")[i].alias(f"sig_{i}") for i in range(4)]
+    )
+
+
+def _q_lsh_pairs(spark, sf_dir):
+    from moogle_spark.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs(spark, sf_dir), n=3, num_hashes=8, bands=4)
+
+
+def _q_simhash(spark, sf_dir):
+    from moogle_spark.dedup import simhash
+
+    return simhash(_docs(spark, sf_dir))
+
+
+def _q_simhash_pairs(spark, sf_dir):
+    from moogle_spark.dedup import simhash_near_pairs
+
+    return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+def _q_knn_brute(spark, sf_dir):
+    from moogle_spark.simsearch import brute_force_topk
+
+    return brute_force_topk(_emb(spark, sf_dir), _query_vec(spark, sf_dir), k=10)
+
+
+def _q_ivf_centroids(spark, sf_dir):
+    from moogle_spark.simsearch import centroid_scores
+
+    return centroid_scores(_emb(spark, sf_dir), _query_vec(spark, sf_dir)).orderBy("label")
+
+
+def _q_ivf_topk(spark, sf_dir):
+    from moogle_spark.simsearch import ivf_topk
+
+    return ivf_topk(_emb(spark, sf_dir), _query_vec(spark, sf_dir), k=10, nprobe=1)
+
+
+def _q_emb_near_dup(spark, sf_dir):
+    from moogle_spark.simsearch import near_duplicate_pairs
+
+    return near_duplicate_pairs(_emb(spark, sf_dir), threshold=0.4)
+
+
+def _q_lang_id(spark, sf_dir):
+    from moogle_spark.textstats import language_id
+
+    return language_id(_docs(spark, sf_dir))
+
+
+def _q_quality(spark, sf_dir):
+    from moogle_spark.textstats import quality_scores
+
+    return quality_scores(_docs(spark, sf_dir))
+
+
+def _q_token_counts(spark, sf_dir):
+    from moogle_spark.textstats import token_counts
+
+    return token_counts(_docs(spark, sf_dir))
+
+
+def _q_fingerprints(spark, sf_dir):
+    from moogle_spark.textstats import fingerprints
+
+    return fingerprints(_docs(spark, sf_dir), n=3)
+
+
+def _q_multimodal(spark, sf_dir):
+    from moogle_spark.multimodal import extract_features, synth_media
+
+    media = synth_media(_docs(spark, sf_dir))
+    feats = extract_features(media, fake=True)
+    return feats.select(
+        "asset_id", "modality", "n_bytes", F.round(F.col("features")[0], 6).alias("f0")
+    )
+
+
+def _q_engine_bm25(spark, sf_dir):
+    return _engine_search(spark, sf_dir)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # inverted-index operator family (SURVEY.md §2.3/2.6)
+        "tf": _q_tf,
+        "df": _q_df,
+        "idf": _q_idf,
+        "tfidf_weight": _q_tfidf,
+        "search_tfidf": _q_search_tfidf,
+        "search_bm25": _q_search_bm25,
+        "total_hits": _q_total_hits,
+        "vocab_stats": _q_vocab,
+        "top_terms": _q_top_terms,
+        "source_boost": _q_source_boost,
+        "random_page": _q_random_page,
+        "fuzzy_suggest": _q_fuzzy,
+        # search analytics (§2.3 A14/A15, §2.6 T6/T7)
+        "top_searches": _q_top_searches,
+        "search_suggestions": _q_suggestions,
+        "daily_counts": _q_daily,
+        "hourly_windows": _q_hourly,
+        # link graph (§2.4 J4/J7/J8)
+        "page_connections": _q_page_connections,
+        "pagerank": _q_pagerank,
+        "top_ranked": _q_top_ranked,
+        "score_blend": _q_score_blend,
+        # general relational (joins/aggs over TPC-H-ish tables)
+        "pricing_summary": _q_pricing_summary,
+        "top_revenue": _q_top_revenue,
+        # dedup family
+        "dedup_exact": _q_dedup_exact,
+        "jaccard_pairs": _q_jaccard,
+        "minhash_sig": _q_minhash_sig,
+        "lsh_pairs": _q_lsh_pairs,
+        "simhash": _q_simhash,
+        "simhash_pairs": _q_simhash_pairs,
+        # similarity search
+        "knn_brute": _q_knn_brute,
+        "ivf_centroids": _q_ivf_centroids,
+        "ivf_topk": _q_ivf_topk,
+        "emb_near_dup": _q_emb_near_dup,
+        # text analysis
+        "lang_id": _q_lang_id,
+        "quality": _q_quality,
+        "token_counts": _q_token_counts,
+        "fingerprints": _q_fingerprints,
+        # non-SQL-expressible (rows-only checks)
+        "multimodal_features": _q_multimodal,
+        "engine_bm25": _q_engine_bm25,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL.  Shared CTE fragments (frozen tokenizer etc.).
+
+_TOKS = (
+    "toks AS (SELECT doc_id, lang, source, text, "
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t "
+    "FROM documents)"
+)
+_TERMS = "terms AS (SELECT doc_id, unnest(t) AS term FROM toks)"
+_TF = "tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term)"
+_DF = "dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term)"
+_DL = "dl AS (SELECT doc_id, len(t) AS dl FROM toks)"
+_SH = (
+    "sh AS (SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle "
+    "FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i "
+    "FROM toks WHERE len(t) >= 3))"
+)
+
+_QT_IN = "('" + "', '".join(QUERY_TERMS) + "')"
+
+_EDGES = (
+    "ol AS (SELECT o.o_custkey, l.l_suppkey, l.l_returnflag FROM orders o "
+    "JOIN lineitem l ON o.o_orderkey = l.l_orderkey), "
+    "fwd AS (SELECT DISTINCT o_custkey::BIGINT AS src, (l_suppkey + 1000000)::BIGINT AS dst FROM ol), "
+    "rev AS (SELECT DISTINCT (l_suppkey + 1000000)::BIGINT AS src, o_custkey::BIGINT AS dst "
+    "FROM ol WHERE l_returnflag = 'R'), "
+    "edges AS (SELECT * FROM fwd UNION SELECT * FROM rev)"
+)
+
+
+def _pagerank_ctes(iterations: int = 10, d: float = 0.85) -> tuple[str, str]:
+    lines = [
+        _EDGES,
+        "nodes AS (SELECT DISTINCT src AS node FROM edges)",
+        "nn AS (SELECT count(*)::DOUBLE AS n FROM nodes)",
+        "outdeg AS (SELECT src, count(*) AS c FROM edges GROUP BY src)",
+        "ew AS (SELECT e.src, e.dst, 1.0 / o.c AS inv FROM edges e JOIN outdeg o ON o.src = e.src)",
+        "r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)",
+    ]
+    for i in range(iterations):
+        lines.append(
+            f"r{i + 1} AS (SELECT nd.node, (1 - {d}) / (SELECT n FROM nn) + {d} * "
+            f"coalesce(s.contrib, 0) AS rank FROM nodes nd LEFT JOIN "
+            f"(SELECT ew.dst, sum(p.rank * ew.inv) AS contrib FROM ew "
+            f"JOIN r{i} p ON p.node = ew.src GROUP BY ew.dst) s ON s.dst = nd.node)"
+        )
+    return ", ".join(lines), f"r{iterations}"
+
+
+_PR_CTES, _PR_FINAL = _pagerank_ctes()
+
+_EN = "['the', 'and', 'of', 'to', 'in', 'is', 'for', 'with', 'that', 'this']"
+_DE = "['der', 'die', 'das', 'und', 'ist', 'nicht', 'mit', 'ein', 'zu', 'auf']"
+_FR = "['le', 'la', 'les', 'et', 'est', 'pas', 'pour', 'dans', 'une', 'que']"
+
+_MINHASH8 = ", ".join(
+    f"min(md5('{s}:' || shingle)) AS h{s}" for s in range(8)
+)
+
+_STOP_RATIO = (
+    f"CASE WHEN len(t) > 0 THEN len(list_filter(t, x -> list_contains({_EN}, x))) / len(t) ELSE 0 END"
+)
+_SYMBOL_RATIO = (
+    "CASE WHEN length(text) > 0 THEN (length(text) "
+    "- length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) "
+    "- length(regexp_replace(text, '[^ ]', '', 'g'))) / length(text) ELSE 0 END"
+)
+
+_COS_FLAT = (
+    "q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), "
+    "flat AS (SELECT e.vec_id, e.label, unnest(e.embedding)::DOUBLE AS v, "
+    "unnest(q.qe)::DOUBLE AS qv FROM embeddings e, q)"
+)
+
+_CENTROID = (
+    "eflat AS (SELECT label, unnest(embedding)::DOUBLE AS v, "
+    "unnest(generate_series(1, len(embedding))) AS dim FROM embeddings), "
+    "cent AS (SELECT label, dim, avg(v) AS m FROM eflat GROUP BY label, dim), "
+    "qd AS (SELECT unnest(embedding)::DOUBLE AS qv, "
+    "unnest(generate_series(1, len(embedding))) AS dim FROM embeddings WHERE vec_id = 0), "
+    "cscore AS (SELECT label, round(sum(m * qv) / (sqrt(sum(m * m)) * sqrt(sum(qv * qv))), 6) "
+    "AS centroid_cosine FROM cent JOIN qd USING (dim) GROUP BY label)"
+)
+
+_SIMHASH = (
+    f"WITH {_TOKS}, {_TERMS}, "
+    "tfh AS (SELECT doc_id, term, count(*) AS tf, "
+    "CAST(concat('0x', substr(md5(term), 1, 4)) AS INT) AS h FROM terms GROUP BY doc_id, term), "
+    "perbit AS (SELECT doc_id, bit, sum(CASE WHEN (h // CAST(pow(2, bit) AS INT)) % 2 = 1 "
+    "THEN tf ELSE -tf END) AS s FROM tfh, (SELECT unnest(generate_series(0, 15)) AS bit) bits "
+    "GROUP BY doc_id, bit), "
+    "sim AS (SELECT doc_id, sum(CASE WHEN s > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END)::BIGINT "
+    "AS simhash FROM perbit GROUP BY doc_id)"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "tf": f"WITH {_TOKS}, {_TERMS} "
+        "SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term HAVING count(*) >= 3",
+        "df": f"WITH {_TOKS}, {_TERMS}, {_TF} SELECT term, count(*) AS df FROM tf GROUP BY term",
+        "idf": f"WITH {_TOKS}, {_TERMS}, {_TF}, {_DF} "
+        "SELECT term, df, round(log10((SELECT count(*) FROM documents)::DOUBLE / (df + 1)), 6) AS idf FROM dft",
+        "tfidf_weight": f"WITH {_TOKS}, {_TERMS}, {_TF}, {_DF} "
+        "SELECT doc_id, tf.term, tf, df, "
+        "round(tf * log10((SELECT count(*) FROM documents)::DOUBLE / (df + 1)), 6) AS weight "
+        "FROM tf JOIN dft ON tf.term = dft.term WHERE tf >= 2",
+        "search_tfidf": f"WITH {_TOKS}, {_TERMS}, {_TF}, {_DF}, "
+        f"m AS (SELECT tf.doc_id, tf.tf * log10((SELECT count(*) FROM documents)::DOUBLE / (dft.df + 1)) AS w "
+        f"FROM tf JOIN dft ON tf.term = dft.term WHERE tf.term IN {_QT_IN}) "
+        "SELECT doc_id, count(*)::INT AS match_count, round(sum(w), 6) AS cum_weight "
+        f"FROM m GROUP BY doc_id ORDER BY match_count DESC, cum_weight DESC, doc_id LIMIT {K}",
+        "search_bm25": f"WITH {_TOKS}, {_TERMS}, {_TF}, {_DF}, {_DL}, "
+        "stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n, "
+        "(SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl), "
+        "c AS (SELECT tf.doc_id, "
+        "ln(1 + (stats.n - dft.df + 0.5) / (dft.df + 0.5)) * (tf.tf * 2.2) / "
+        "(tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS contrib "
+        "FROM tf JOIN dft ON tf.term = dft.term JOIN dl ON dl.doc_id = tf.doc_id, stats "
+        f"WHERE tf.term IN {_QT_IN}) "
+        "SELECT doc_id, round(sum(contrib), 6) AS score, count(*)::INT AS match_count "
+        f"FROM c GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT {K}",
+        "total_hits": f"WITH {_TOKS}, {_TERMS} "
+        f"SELECT count(DISTINCT doc_id)::BIGINT AS total_hits FROM terms WHERE term IN {_QT_IN}",
+        "vocab_stats": f"WITH {_TOKS}, t2 AS (SELECT doc_id, lang, unnest(t) AS term FROM toks) "
+        "SELECT lang, count(DISTINCT term)::BIGINT AS vocab_size, count(*)::BIGINT AS token_count "
+        "FROM t2 GROUP BY lang ORDER BY lang",
+        "top_terms": f"WITH {_TOKS}, {_TERMS}, {_TF}, "
+        "r AS (SELECT doc_id, term, tf, row_number() OVER "
+        "(PARTITION BY doc_id ORDER BY tf DESC, term)::INT AS term_rank FROM tf WHERE doc_id < 100) "
+        "SELECT doc_id, term, tf, term_rank FROM r WHERE term_rank <= 5",
+        "source_boost": f"WITH {_TOKS}, {_TERMS}, {_TF}, "
+        "srct AS (SELECT DISTINCT doc_id, "
+        "unnest(list_filter(regexp_split_to_array(lower(source), '[^a-z0-9]+'), x -> x <> '')) AS term "
+        "FROM documents) "
+        "SELECT s.doc_id, s.term, coalesce(tf.tf * 50, 10)::BIGINT AS boosted_tf "
+        "FROM srct s LEFT JOIN tf ON tf.doc_id = s.doc_id AND tf.term = s.term",
+        "random_page": "SELECT doc_id, lang, source FROM documents "
+        "ORDER BY md5(doc_id::VARCHAR), doc_id LIMIT 1",
+        "fuzzy_suggest": f"WITH {_TOKS}, {_TERMS}, "
+        "dict AS (SELECT DISTINCT term FROM terms), "
+        "words(word) AS (VALUES " + ", ".join(f"('{w}')" for w in FUZZY_WORDS) + "), "
+        "cand AS (SELECT word, term AS suggestion FROM words JOIN dict "
+        "ON substr(term, 1, 1) = substr(word, 1, 1) AND abs(length(term) - length(word)) <= 1), "
+        "dist AS (SELECT word, suggestion, levenshtein(word, suggestion)::INT AS distance FROM cand), "
+        "capped AS (SELECT * FROM dist WHERE distance <= "
+        "CASE WHEN length(word) <= 4 THEN 1 ELSE least(2, length(word) // 4) END), "
+        "ranked AS (SELECT word, suggestion, distance, row_number() OVER "
+        "(PARTITION BY word ORDER BY distance, suggestion)::INT AS sugg_rank FROM capped) "
+        "SELECT word, suggestion, distance, sugg_rank FROM ranked WHERE sugg_rank <= 5",
+        "top_searches": "SELECT event_type AS query, count(*) AS searches FROM events "
+        "GROUP BY event_type ORDER BY searches DESC, query LIMIT 10",
+        "search_suggestions": "WITH ts AS (SELECT event_type AS query, count(*) AS searches "
+        "FROM events GROUP BY event_type ORDER BY searches DESC, query LIMIT 100) "
+        "SELECT query, searches FROM ts WHERE lower(query) LIKE 's%' "
+        "ORDER BY searches DESC, query LIMIT 10",
+        "daily_counts": "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, "
+        "count(*) AS searches FROM events GROUP BY 1 ORDER BY day",
+        "hourly_windows": "SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, "
+        "event_type AS query, count(*) AS searches FROM events GROUP BY 1, 2 "
+        "ORDER BY window_start, query",
+        "page_connections": f"WITH {_EDGES} "
+        "SELECT e.src, e.dst, c.c_name AS src_name, s.s_name AS dst_name "
+        "FROM edges e JOIN customer c ON c.c_custkey = e.src "
+        "JOIN supplier s ON s.s_suppkey = e.dst - 1000000 "
+        "WHERE e.src <= 200 ORDER BY src, dst",
+        "pagerank": f"WITH {_PR_CTES} "
+        f"SELECT node AS doc_id, round(rank, 8) AS rank FROM {_PR_FINAL} ORDER BY doc_id",
+        "top_ranked": f"WITH {_PR_CTES} "
+        f"SELECT node AS doc_id, round(rank, 8) AS rank FROM {_PR_FINAL} "
+        "ORDER BY round(rank, 8) DESC, doc_id LIMIT 5",
+        "score_blend": f"WITH {_PR_CTES}, "
+        "spend AS (SELECT o_custkey::BIGINT AS doc_id, round(sum(o_totalprice) / 100000, 6) AS score "
+        "FROM orders GROUP BY 1) "
+        "SELECT s.doc_id, s.score, round(coalesce(r.rank, 0), 8) AS rank, "
+        "round(0.6 * s.score + 0.4 * coalesce(r.rank, 0), 6) AS combined "
+        f"FROM spend s LEFT JOIN {_PR_FINAL} r ON r.node = s.doc_id "
+        "ORDER BY combined DESC, doc_id LIMIT 50",
+        "pricing_summary": "SELECT l_returnflag, l_linestatus, "
+        "round(sum(l_quantity), 2) AS sum_qty, "
+        "round(sum(l_extendedprice), 2) AS sum_base_price, "
+        "round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price, "
+        "round(avg(l_quantity), 4) AS avg_qty, "
+        "round(avg(l_discount), 6) AS avg_disc, "
+        "count(*)::BIGINT AS count_order "
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+        "GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus",
+        "top_revenue": "SELECT o.o_orderkey, c.c_name, "
+        "round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue "
+        "FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+        "JOIN customer c ON c.c_custkey = o.o_custkey "
+        "GROUP BY o.o_orderkey, c.c_name ORDER BY revenue DESC, o_orderkey LIMIT 10",
+        "dedup_exact": "SELECT md5(text) AS content_hash, min(doc_id) AS canonical_doc_id, "
+        "count(*)::BIGINT AS dup_count FROM documents GROUP BY md5(text)",
+        "jaccard_pairs": f"WITH {_TOKS}, {_SH}, "
+        "sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id), "
+        "c AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common "
+        "FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id "
+        "GROUP BY 1, 2), "
+        "j AS (SELECT doc_a, doc_b, round(common / (x.n_sh + y.n_sh - common), 6) AS jaccard "
+        "FROM c JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b) "
+        "SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.1 ORDER BY doc_a, doc_b",
+        "minhash_sig": f"WITH {_TOKS}, {_SH} "
+        "SELECT doc_id, "
+        + ", ".join(f"min(md5('{s}:' || shingle)) AS sig_{s}" for s in range(4))
+        + " FROM sh GROUP BY doc_id",
+        "lsh_pairs": f"WITH {_TOKS}, {_SH}, "
+        f"sig AS (SELECT doc_id, {_MINHASH8} FROM sh GROUP BY doc_id), "
+        "bands AS ("
+        "SELECT doc_id, 0 AS band_id, md5(h0 || '|' || h1) AS bh FROM sig "
+        "UNION ALL SELECT doc_id, 1, md5(h2 || '|' || h3) FROM sig "
+        "UNION ALL SELECT doc_id, 2, md5(h4 || '|' || h5) FROM sig "
+        "UNION ALL SELECT doc_id, 3, md5(h6 || '|' || h7) FROM sig) "
+        "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a JOIN bands b "
+        "ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id "
+        "ORDER BY doc_a, doc_b",
+        "simhash": f"{_SIMHASH} SELECT doc_id, simhash FROM sim ORDER BY doc_id",
+        "simhash_pairs": f"{_SIMHASH} "
+        "SELECT doc_a, doc_b, hamming FROM ("
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "bit_count(xor(a.simhash, b.simhash))::INT AS hamming "
+        "FROM sim a JOIN sim b ON a.doc_id < b.doc_id) "
+        "WHERE hamming <= 3 ORDER BY doc_a, doc_b",
+        "knn_brute": f"WITH {_COS_FLAT} "
+        "SELECT vec_id, label, round(sum(v * qv) / (sqrt(sum(v * v)) * sqrt(sum(qv * qv))), 6) "
+        "AS cosine FROM flat GROUP BY vec_id, label ORDER BY cosine DESC, vec_id LIMIT 10",
+        "ivf_centroids": f"WITH {_CENTROID} "
+        "SELECT label, centroid_cosine FROM cscore ORDER BY label",
+        "ivf_topk": f"WITH {_CENTROID}, "
+        "best AS (SELECT label FROM cscore ORDER BY centroid_cosine DESC, label LIMIT 1), "
+        "q2 AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), "
+        "flat2 AS (SELECT e.vec_id, e.label, unnest(e.embedding)::DOUBLE AS v, "
+        "unnest(q2.qe)::DOUBLE AS qv FROM embeddings e JOIN best USING (label), q2) "
+        "SELECT vec_id, label, round(sum(v * qv) / (sqrt(sum(v * v)) * sqrt(sum(qv * qv))), 6) "
+        "AS cosine FROM flat2 GROUP BY vec_id, label ORDER BY cosine DESC, vec_id LIMIT 10",
+        "emb_near_dup": "WITH flat AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v, "
+        "unnest(generate_series(1, len(embedding))) AS dim FROM embeddings), "
+        "p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+        "round(sum(a.v * b.v) / (sqrt(sum(a.v * a.v)) * sqrt(sum(b.v * b.v))), 6) AS cosine "
+        "FROM flat a JOIN flat b ON a.dim = b.dim AND a.vec_id < b.vec_id GROUP BY 1, 2) "
+        "SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.4 ORDER BY id_a, id_b",
+        "lang_id": f"WITH {_TOKS}, "
+        f"m AS (SELECT doc_id, lang, len(t) AS n_toks, "
+        f"len(list_filter(t, x -> list_contains({_EN}, x))) AS en_hits, "
+        f"len(list_filter(t, x -> list_contains({_DE}, x))) AS de_hits, "
+        f"len(list_filter(t, x -> list_contains({_FR}, x))) AS fr_hits FROM toks) "
+        "SELECT doc_id, lang, "
+        "CASE WHEN greatest(en_hits, de_hits, fr_hits) = 0 THEN 'und' "
+        "WHEN en_hits >= greatest(de_hits, fr_hits) THEN 'en' "
+        "WHEN de_hits >= fr_hits THEN 'de' ELSE 'fr' END AS predicted_lang, "
+        "round(CASE WHEN n_toks > 0 THEN en_hits / n_toks ELSE 0 END, 6) AS en_marker_ratio "
+        "FROM m",
+        "quality": f"WITH {_TOKS} "
+        "SELECT doc_id, length(text)::BIGINT AS n_chars, len(t)::BIGINT AS n_tokens, "
+        f"round({_STOP_RATIO}, 6) AS stopword_ratio, "
+        f"round({_SYMBOL_RATIO}, 6) AS symbol_ratio, "
+        f"round(({_STOP_RATIO}) * 0.4 + least(len(t) / 100.0, 1.0) * 0.3 "
+        f"+ (1 - ({_SYMBOL_RATIO})) * 0.3, 6) AS quality_score "
+        "FROM toks",
+        "token_counts": f"WITH {_TOKS} "
+        "SELECT doc_id, "
+        "len(list_filter(string_split_regex(text, ' +'), x -> x <> ''))::BIGINT AS ws_tokens, "
+        "len(t)::BIGINT AS alnum_tokens, "
+        "len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))::BIGINT AS bpe_pieces "
+        "FROM toks",
+        "fingerprints": f"WITH {_TOKS}, {_SH} "
+        "SELECT doc_id, min(md5(shingle)) AS fingerprint, count(*)::BIGINT AS n_shingles "
+        "FROM sh GROUP BY doc_id ORDER BY doc_id",
+        # multimodal_features / engine_bm25: intentionally no oracle —
+        # Arrow-UDF feature extraction and the compressed-postings WAND
+        # engine aren't SQL-expressible; driver records rows-only checks,
+        # and the engine is verified rank-identical against the in-repo
+        # Python oracle in tests/test_engine_parity.py.
+    }

@@ -1,0 +1,224 @@
+"""Deduplication operators for large-scale training-data pipelines:
+exact (hash groupBy), n-gram Jaccard, MinHash+LSH, SimHash.
+
+All operators are pure DataFrame plans over a (doc_id, text) table using
+built-in JVM-side functions only — deterministic, so the DuckDB oracle in
+__spark_entry__.py can mirror them exactly:
+
+  * hashing primitive = md5 hex (identical in Spark and ANSI SQL); a
+    MinHash "permutation" is the lexicographic min of md5(seed || shingle)
+    — md5 restricted to a fixed-length hex alphabet is a uniform order,
+    so min-over-shingles is a valid MinHash estimator.
+  * shingles = word n-grams under the frozen textops tokenizer.
+  * SimHash uses a 16-bit fingerprint (first 4 md5 nibbles per term,
+    tf-weighted) — wide enough to demo hamming-bucketing, cheap in SQL.
+
+Scale notes (the whole point of MinHash/SimHash): the exact-Jaccard
+self-join is quadratic in docs sharing a shingle and exists as the
+small-scale oracle; the LSH band join only shuffles (band_id, band_hash)
+keys, so candidate generation is linear in docs and the expensive
+verification runs on candidates only.  At 100 TB you'd band into
+r=4,b=16 and bucket the band join; both knobs are parameters here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .textops import tokens_col
+
+
+def exact_duplicate_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup via content-hash groupBy: one row per distinct content,
+    with the canonical (min) doc_id and the duplicate count."""
+    return (
+        docs.select("doc_id", F.md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).cast("long").alias("dup_count"),
+        )
+    )
+
+
+def shingle_col(n: int, text_col: str = "text") -> Column:
+    """array<string> of word n-gram shingles (space-joined), empty when the
+    doc has fewer than n tokens.  Sequence is guarded: Spark's sequence()
+    runs DESCENDING when start > stop, which would fabricate shingles."""
+    t = tokens_col(text_col)
+    return F.when(
+        F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - F.lit(n - 1)),
+            lambda i: F.array_join(F.slice(t, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def doc_shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """(doc_id, shingle) — distinct shingle set per doc."""
+    return docs.select(
+        "doc_id", F.explode(shingle_col(n, text_col)).alias("shingle")
+    ).distinct()
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (a < b):
+    J = |A∩B| / (|A|+|B|-|A∩B|) >= threshold.  The shingle self-join is
+    the small-scale oracle for MinHash-LSH below."""
+    sh = doc_shingles(docs, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, n: int = 3, num_hashes: int = 8, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, sig:array<string>) — sig[s] = min over shingles of
+    md5(s || ':' || shingle).  Docs with < n tokens get an empty sig."""
+    sh = doc_shingles(docs, n, text_col)
+    mins = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{s}:"), F.col("shingle")))).alias(f"h{s}")
+            for s in range(num_hashes)
+        ]
+    )
+    return mins.select(
+        "doc_id", F.array(*[F.col(f"h{s}") for s in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: split the signature into `bands` bands
+    of r = num_hashes/bands rows; docs sharing any band hash are
+    candidates.  Returns distinct (doc_a, doc_b) with doc_a < doc_b.
+    The band join shuffles only (band_id, band_hash) — linear in corpus
+    size; exact Jaccard verification then runs on candidates only."""
+    r = num_hashes // bands
+    sig = minhash_signatures(docs, n, num_hashes, text_col)
+    banded = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band_id"),
+                        F.md5(
+                            F.array_join(F.slice("sig", bi * r + 1, r), "|")
+                        ).alias("band_hash"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("bh"),
+    ).select("doc_id", "bh.band_id", "bh.band_hash")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _term_hash16(term_col: Column) -> Column:
+    """First 16 bits of md5(term) as an int, via base-16 conv — identical
+    to the SQL oracle's cast(concat('0x', substr(md5(t),1,4)) as int)."""
+    return F.conv(F.substring(F.md5(term_col), 1, 4), 16, 10).cast("int")
+
+
+def simhash(docs: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
+    """tf-weighted SimHash fingerprint per doc: bit b is set iff
+    Σ_terms tf(t) · (±1 per md5-bit b of t) > 0.  Returns
+    (doc_id, simhash:long)."""
+    tf = (
+        docs.select("doc_id", F.explode(tokens_col(text_col)).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("h", _term_hash16(F.col("term")))
+    )
+    per_bit = tf.select(
+        "doc_id",
+        "tf",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+        "h",
+    ).select(
+        "doc_id",
+        "bit",
+        F.when(
+            (F.floor(F.col("h") / F.pow(F.lit(2), F.col("bit"))).cast("long") % 2) == 1,
+            F.col("tf"),
+        )
+        .otherwise(-F.col("tf"))
+        .alias("v"),
+    )
+    bitsum = per_bit.groupBy("doc_id", "bit").agg(F.sum("v").alias("s"))
+    return (
+        bitsum.groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("s") > 0, F.pow(F.lit(2), F.col("bit")).cast("long")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("simhash")
+        )
+        .orderBy("doc_id")
+    )
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs by hamming distance on the 16-bit prints.
+    Quadratic join at demo scale; at 100 TB you'd bucket on bit-chunks
+    (pigeonhole: any pair within hamming<=3 shares one of 4 4-bit chunks)."""
+    s = simhash(docs)
+    a = s.alias("a")
+    b = s.alias("b")
+    x = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(x).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("doc_a", "doc_b")
+    )

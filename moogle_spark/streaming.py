@@ -1,0 +1,79 @@
+"""Structured Streaming twin of the search-analytics aggregations.
+
+The reference's 'streaming' is Redis queues with blocking pops (SURVEY.md
+§2.9): the indexer queue (services/indexer/data/redis_client.py:39-50),
+the zset analytics (StoreSearchTerm.php:31-38), and a 24h TTL counter.
+Here the query log is a real stream: ``readStream`` -> event-time windowed
+counts with a watermark for late data -> sink.  ``foreachBatch`` is the
+bridge into the batch index-build (incremental indexing), mirroring the
+indexer's queue-drain loop.
+
+These helpers take any streaming DataFrame with (ts timestamp, query
+string); tests drive them from a file source over parquet drops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_query_stream(
+    spark: SparkSession, path: str, schema: str = "ts timestamp, query string"
+) -> DataFrame:
+    """File-source stream: each parquet file dropped in `path` is a
+    micro-batch (the Redis pages_queue analogue)."""
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def streaming_search_counts(
+    stream: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    query_col: str = "query",
+) -> DataFrame:
+    """A14 as a watermarked event-time windowed aggregation: late events
+    beyond the watermark are dropped, state is bounded (the zset-trim
+    analogue).  Output matches analytics.windowed_counts on the same data
+    once all input is ingested (asserted in tests)."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.window(F.col(ts_col), window).alias("w"),
+            F.col(query_col).alias("query"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("searches"))
+        .select(F.col("w.start").alias("window_start"), "query", "searches")
+    )
+
+
+def run_to_memory_sink(
+    aggregated: DataFrame, name: str, timeout_s: float = 60.0
+) -> None:
+    """Drive the stream to completion into an in-memory table `name`
+    (complete mode — the aggregation is small by construction)."""
+    q = (
+        aggregated.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+
+
+def incremental_index_foreachBatch(
+    stream: DataFrame, batch_fn, checkpoint: str, timeout_s: float = 120.0
+) -> None:
+    """The indexer queue-drain loop (services/indexer/main.py:111-211) as
+    foreachBatch: every micro-batch of new docs is handed to the batch
+    index builder (callable(batch_df, batch_id)); exactly-once via the
+    checkpoint dir + the warehouse's idempotent stage commits."""
+    q = (
+        stream.writeStream.foreachBatch(batch_fn)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
