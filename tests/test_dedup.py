@@ -1,0 +1,79 @@
+"""Dedup operators: exact hash groups, n-gram Jaccard, MinHash-LSH,
+SimHash — crafted corpora with planted duplicates."""
+
+import pandas as pd
+import pytest
+
+from moogle_spark.dedup import (
+    doc_shingles,
+    exact_duplicate_groups,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_pairs,
+)
+
+BASE = "the quick brown fox jumps over the lazy dog near the old river bank today"
+NEAR = BASE.replace("today", "tonight")  # one token differs
+OTHER = "completely different words about spark shuffle partitions and codecs"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(1, BASE), (2, BASE), (3, NEAR), (4, OTHER)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_duplicate_groups(spark, docs):
+    got = exact_duplicate_groups(docs).toPandas()
+    dup = got[got["dup_count"] > 1]
+    assert len(dup) == 1
+    assert dup.iloc[0]["canonical_doc_id"] == 1
+    assert dup.iloc[0]["dup_count"] == 2
+    assert len(got) == 3  # three distinct contents
+
+
+def test_shingles_short_doc_empty(spark):
+    d = spark.createDataFrame([(1, "only two")], "doc_id long, text string")
+    assert doc_shingles(d, n=3).count() == 0
+
+
+def test_jaccard_pairs_find_planted_near_dup(spark, docs):
+    got = ngram_jaccard_pairs(docs, n=3, threshold=0.5).toPandas()
+    pairs = set(zip(got["doc_a"], got["doc_b"]))
+    assert (1, 2) in pairs  # identical
+    assert (1, 3) in pairs and (2, 3) in pairs  # near-dup
+    assert not any(4 in p for p in pairs)
+    exact = got[(got["doc_a"] == 1) & (got["doc_b"] == 2)].iloc[0]
+    assert exact["jaccard"] == 1.0
+
+
+def test_minhash_identical_signatures(spark, docs):
+    sig = minhash_signatures(docs, n=3, num_hashes=8).toPandas().set_index("doc_id")
+    assert list(sig.loc[1, "sig"]) == list(sig.loc[2, "sig"])
+    # near-dup shares most minhashes, disjoint doc shares none
+    s1, s3, s4 = (list(sig.loc[i, "sig"]) for i in (1, 3, 4))
+    agree_13 = sum(a == b for a, b in zip(s1, s3))
+    agree_14 = sum(a == b for a, b in zip(s1, s4))
+    assert agree_13 >= 4
+    assert agree_14 == 0
+
+
+def test_lsh_pairs_candidates(spark, docs):
+    got = minhash_lsh_pairs(docs, n=3, num_hashes=8, bands=4).toPandas()
+    pairs = set(zip(got["doc_a"], got["doc_b"]))
+    assert (1, 2) in pairs
+    assert (1, 3) in pairs  # high-overlap near-dup shares >=1 band w.h.p.
+    assert not any(4 in p for p in pairs)
+
+
+def test_simhash_and_near_pairs(spark, docs):
+    s = simhash(docs).toPandas().set_index("doc_id")["simhash"]
+    assert s.loc[1] == s.loc[2]
+    assert 0 <= s.loc[1] < 2**16
+    got = simhash_near_pairs(docs, max_hamming=3).toPandas()
+    pairs = set(zip(got["doc_a"], got["doc_b"]))
+    assert (1, 2) in pairs
+    h12 = got[(got["doc_a"] == 1) & (got["doc_b"] == 2)].iloc[0]["hamming"]
+    assert h12 == 0

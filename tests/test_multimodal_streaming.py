@@ -1,0 +1,90 @@
+"""Multimodal binary-column plumbing + Structured Streaming analytics."""
+
+import datetime as dt
+import os
+
+import numpy as np
+import pytest
+
+from moogle_spark.multimodal import (
+    FEATURE_DIM,
+    decode_payload,
+    extract_features,
+    frame_sample_plan,
+    synth_media,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "abc"), (3, "")], "doc_id long, text string"
+    )
+    return synth_media(docs)
+
+
+def test_decode_stub_raises_without_fake():
+    with pytest.raises(NotImplementedError):
+        decode_payload(b"xx", "image")
+
+
+def test_decode_fake_histogram():
+    f = decode_payload(b"hello", "image", fake=True)
+    assert f.shape == (FEATURE_DIM,)
+    assert f.sum() == pytest.approx(1.0)
+    assert decode_payload(b"", "image", fake=True).sum() == 0.0
+
+
+def test_media_schema_and_sha(spark, media):
+    rows = {r["asset_id"]: r for r in media.collect()}
+    assert bytes(rows[1]["payload"]) == b"hello world"
+    import hashlib
+
+    assert rows[1]["payload_sha256"] == hashlib.sha256(b"hello world").hexdigest()
+
+
+def test_extract_features_distributed(spark, media):
+    got = extract_features(media, fake=True).toPandas().set_index("asset_id")
+    want = decode_payload(b"hello world", "image", fake=True)
+    np.testing.assert_allclose(np.asarray(got.loc[1, "features"]), want)
+    assert got.loc[1, "n_bytes"] == 11
+    assert got.loc[3, "n_bytes"] == 0
+
+
+def test_frame_sample_plan(spark, media):
+    got = frame_sample_plan(media, every_ms=1000).toPandas()
+    per = got.groupby("asset_id").size()
+    # duration defaults to (asset_id % 5 + 1) seconds -> that many frames
+    assert per[1] == 2 and per[2] == 3 and per[3] == 4
+
+
+def test_streaming_counts_match_batch(spark, tmp_path):
+    from moogle_spark.analytics import windowed_counts
+    from moogle_spark.streaming import (
+        read_query_stream,
+        run_to_memory_sink,
+        streaming_search_counts,
+    )
+
+    base = dt.datetime(2024, 3, 1, 0, 0, 0)
+    rows = [
+        (base + dt.timedelta(minutes=13 * i), ["a", "b", "a"][i % 3]) for i in range(60)
+    ]
+    batch = spark.createDataFrame(rows, "ts timestamp, query string")
+    src = str(tmp_path / "stream_src")
+    os.makedirs(src, exist_ok=True)
+    # two file drops = two micro-batches
+    batch.limit(30).write.mode("overwrite").parquet(src + "/drop1.parquet")
+    batch.subtract(batch.limit(30)).write.mode("overwrite").parquet(src + "/drop2.parquet")
+
+    stream = read_query_stream(spark, src + "/*.parquet")
+    agg = streaming_search_counts(stream, window="1 hour", watermark="2 hours")
+    run_to_memory_sink(agg, "stream_counts", timeout_s=120)
+
+    got = spark.sql("select * from stream_counts").toPandas()
+    want = windowed_counts(batch, window="1 hour").toPandas()
+    g = got.sort_values(["window_start", "query"]).reset_index(drop=True)
+    w = want.sort_values(["window_start", "query"]).reset_index(drop=True)
+    assert g[["window_start", "query", "searches"]].equals(
+        w[["window_start", "query", "searches"]]
+    )

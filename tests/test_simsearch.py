@@ -1,0 +1,80 @@
+"""Similarity search: brute-force cosine vs numpy, IVF probe behavior,
+near-duplicate pairs."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from moogle_spark.simsearch import (
+    brute_force_topk,
+    centroid_scores,
+    ivf_topk,
+    label_centroids,
+    near_duplicate_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(11)
+    centers = {0: rng.normal(0, 1, 8), 1: rng.normal(4, 1, 8), 2: rng.normal(-4, 1, 8)}
+    rows = []
+    for i in range(90):
+        lab = i % 3
+        v = centers[lab] + rng.normal(0, 0.3, 8)
+        rows.append((i, [float(x) for x in v], lab))
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+    return (
+        spark.createDataFrame(pdf.to_dict("records"),
+                              "vec_id long, embedding array<float>, label int"),
+        pdf,
+    )
+
+
+def _np_cosine(pdf, q):
+    m = np.array([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    q = np.asarray(q, dtype=np.float64)
+    return (m @ q) / (np.linalg.norm(m, axis=1) * np.linalg.norm(q))
+
+
+def test_brute_force_matches_numpy(spark, emb):
+    sdf, pdf = emb
+    q = [float(np.float32(x)) for x in pdf.iloc[0]["embedding"]]
+    got = brute_force_topk(sdf, q, k=10).toPandas()
+    # spark stores float32; mirror that in the reference
+    m32 = pdf.copy()
+    m32["embedding"] = m32["embedding"].map(lambda v: np.asarray(v, np.float32))
+    cos = _np_cosine(m32, q)
+    want = np.argsort(-np.round(cos, 6), kind="stable")[:10]
+    assert list(got["vec_id"]) == [int(pdf.iloc[i]["vec_id"]) for i in want]
+    np.testing.assert_allclose(got["cosine"], np.round(cos[want], 6), atol=2e-6)
+
+
+def test_centroids_shape(spark, emb):
+    sdf, _ = emb
+    c = label_centroids(sdf).toPandas()
+    assert len(c) == 3
+    assert all(len(v) == 8 for v in c["centroid"])
+
+
+def test_ivf_probes_best_cluster(spark, emb):
+    sdf, pdf = emb
+    q = [float(np.float32(x)) for x in pdf.iloc[3]["embedding"]]  # label 0 vector
+    cs = centroid_scores(sdf, q).toPandas().sort_values("centroid_cosine")
+    assert cs.iloc[-1]["label"] == 0
+    got = ivf_topk(sdf, q, k=5, nprobe=1).toPandas()
+    assert set(got["label"]) == {0}
+    # with clear cluster structure IVF top-k == brute-force top-k
+    brute = brute_force_topk(sdf, q, k=5).toPandas()
+    assert list(got["vec_id"]) == list(brute["vec_id"])
+
+
+def test_near_duplicate_pairs(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0]),  # near-dup of 1
+        (3, [0.0, 1.0, 0.0]),
+    ]
+    sdf = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = near_duplicate_pairs(sdf, threshold=0.99).toPandas()
+    assert list(zip(got["id_a"], got["id_b"])) == [(1, 2)]

@@ -1,0 +1,125 @@
+"""Scaling-efficiency evidence (BASELINE.json north_rule): run the SAME
+index-build + query job on the SAME input at two parallelism levels
+(local[8] vs local[32] — the sandbox proxy for N vs 4N executors), report
+throughput at both and the scaling efficiency, and assert the top-k
+results are byte-identical across parallelism (float-determinism clause,
+SURVEY.md §7.3).
+
+Parent mode orchestrates two child subprocesses (fresh JVM each, so JIT /
+codegen warmup is identical and paid inside each child's warmup build,
+not in the timed run).  Each child does `trials` timed builds and reports
+the best (the machine is a shared VM; noise only ever slows a trial).
+
+Usage:  python tools/scaling_bench.py [n_docs] [trials]
+        python tools/scaling_bench.py --child <cores> <n_docs> <trials>
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+CORPUS = "/tmp/moogle_scaling_corpus_{n}.parquet"
+
+
+def child(cores: int, n_docs: int, trials: int) -> None:
+    from moogle_spark.build import build_index
+    from moogle_spark.corpus import generate_docs, reference_queries
+    from moogle_spark.query import SearchEngine
+    from moogle_spark.session import get_spark
+
+    import numpy as np
+
+    spark = get_spark(app=f"scaling_{cores}", cores=cores, shuffle_partitions=cores)
+    docs = spark.read.parquet(CORPUS.format(n=n_docs))
+    # warmup build (codegen + python worker spawn), untimed
+    shutil.rmtree("/tmp/scaling_warm_wh", ignore_errors=True)
+    build_index(spark, generate_docs(spark, 500), "/tmp/scaling_warm_wh")
+
+    best = float("inf")
+    wh = f"/tmp/scaling_wh_{cores}"
+    for _ in range(trials):
+        shutil.rmtree(wh, ignore_errors=True)
+        t0 = time.time()
+        build_index(spark, docs, wh)
+        best = min(best, time.time() - t0)
+
+    eng = SearchEngine(spark, wh)
+    eng.search("warmup", k=10).collect()
+    lat = []
+    h = hashlib.sha256()
+    for q in reference_queries(n_docs):
+        t0 = time.time()
+        rows = eng.search(q["query"], k=q["k"]).collect()
+        lat.append(time.time() - t0)
+        for r in rows:
+            h.update(f"{q['query_id']}:{r['rank']}:{r['doc_id']}:{r['score']!r};".encode())
+    out = {
+        "cores": cores,
+        "n_docs": n_docs,
+        "build_sec": round(best, 2),
+        "docs_per_sec": round(n_docs / best, 1),
+        "query_p50_s": round(float(np.percentile(lat, 50)), 4),
+        "query_p99_s": round(float(np.percentile(lat, 99)), 4),
+        "topk_sha256": h.hexdigest(),
+    }
+    print("CHILD_RESULT " + json.dumps(out))
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--child":
+        child(int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]))
+        return
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
+    trials = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+
+    corpus = CORPUS.format(n=n_docs)
+    if not os.path.exists(corpus):
+        from moogle_spark.corpus import generate_docs
+        from moogle_spark.session import get_spark
+
+        spark = get_spark(app="scaling_gen", cores=8)
+        generate_docs(spark, n_docs).write.mode("overwrite").parquet(corpus)
+        spark.stop()
+
+    results = {}
+    for cores in (8, 32):
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--child", str(cores), str(n_docs), str(trials)],
+            capture_output=True, text=True, timeout=1800, cwd=REPO,
+        )
+        line = [ln for ln in p.stdout.splitlines() if ln.startswith("CHILD_RESULT ")]
+        if not line:
+            print(p.stdout[-3000:])
+            print(p.stderr[-3000:])
+            raise RuntimeError(f"child {cores} failed")
+        results[cores] = json.loads(line[-1][len("CHILD_RESULT "):])
+        print(json.dumps(results[cores]))
+
+    tp8, tp32 = results[8]["docs_per_sec"], results[32]["docs_per_sec"]
+    eff = (tp32 / tp8) / (32 / 8)
+    identical = results[8]["topk_sha256"] == results[32]["topk_sha256"]
+    summary = {
+        "n_docs": n_docs,
+        "throughput_8_cores": tp8,
+        "throughput_32_cores": tp32,
+        "speedup_8_to_32": round(tp32 / tp8, 3),
+        "scaling_efficiency": round(eff, 3),
+        "topk_byte_identical_across_parallelism": identical,
+        "detail": results,
+    }
+    print("SCALING_SUMMARY " + json.dumps(summary))
+    with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
