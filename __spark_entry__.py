@@ -334,6 +334,18 @@ def _q_fingerprints(spark, sf_dir):
     return fingerprints(_docs(spark, sf_dir), n=3)
 
 
+def _q_image_postings(spark, sf_dir):
+    from moogle_spark.imageindex import image_postings
+
+    return image_postings(_docs(spark, sf_dir))
+
+
+def _q_image_search(spark, sf_dir):
+    from moogle_spark.imageindex import search_images
+
+    return search_images(_docs(spark, sf_dir), ["src1", "src12"], k=5)
+
+
 def _q_multimodal(spark, sf_dir):
     from moogle_spark.multimodal import extract_features, synth_media
 
@@ -388,6 +400,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_centroids": _q_ivf_centroids,
         "ivf_topk": _q_ivf_topk,
         "emb_near_dup": _q_emb_near_dup,
+        # image-index variant (§2.3 A4, §3.3)
+        "image_postings": _q_image_postings,
+        "image_search": _q_image_search,
         # text analysis
         "lang_id": _q_lang_id,
         "quality": _q_quality,
@@ -640,6 +655,30 @@ def oracle_sql() -> dict[str, str]:
         "round(sum(a.v * b.v) / (sqrt(sum(a.v * a.v)) * sqrt(sum(b.v * b.v))), 6) AS cosine "
         "FROM flat a JOIN flat b ON a.dim = b.dim AND a.vec_id < b.vec_id GROUP BY 1, 2) "
         "SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.4 ORDER BY id_a, id_b",
+        "image_postings": f"WITH {_TOKS}, {_TERMS}, {_TF}, "
+        "assets AS (SELECT doc_id, source || '#' || doc_id::VARCHAR AS asset_id, "
+        "source AS asset_name FROM documents), "
+        "nt AS (SELECT DISTINCT a.doc_id, a.asset_id, "
+        "unnest(list_filter(regexp_split_to_array(lower(a.asset_name), '[^a-z0-9]+'), "
+        "x -> x <> '')) AS term FROM assets a), "
+        "bt AS (SELECT DISTINCT doc_id, term FROM tf) "
+        "SELECT nt.term, nt.asset_id, nt.doc_id, "
+        "(CASE WHEN bt.term IS NOT NULL THEN 100 ELSE 30 END)::BIGINT AS weight "
+        "FROM nt LEFT JOIN bt ON bt.doc_id = nt.doc_id AND bt.term = nt.term",
+        "image_search": f"WITH {_TOKS}, {_TERMS}, {_TF}, "
+        "assets AS (SELECT doc_id, source || '#' || doc_id::VARCHAR AS asset_id, "
+        "source AS asset_name FROM documents), "
+        "nt AS (SELECT DISTINCT a.doc_id, a.asset_id, "
+        "unnest(list_filter(regexp_split_to_array(lower(a.asset_name), '[^a-z0-9]+'), "
+        "x -> x <> '')) AS term FROM assets a), "
+        "bt AS (SELECT DISTINCT doc_id, term FROM tf), "
+        "wp AS (SELECT nt.term, nt.asset_id, "
+        "(CASE WHEN bt.term IS NOT NULL THEN 100 ELSE 30 END)::BIGINT AS weight "
+        "FROM nt LEFT JOIN bt ON bt.doc_id = nt.doc_id AND bt.term = nt.term "
+        "WHERE nt.term IN ('src1', 'src12')) "
+        "SELECT asset_id, count(*)::INT AS match_count, sum(weight)::BIGINT AS cum_weight "
+        "FROM wp GROUP BY asset_id "
+        "ORDER BY match_count DESC, cum_weight DESC, asset_id LIMIT 5",
         "lang_id": f"WITH {_TOKS}, "
         f"m AS (SELECT doc_id, lang, len(t) AS n_toks, "
         f"len(list_filter(t, x -> list_contains({_EN}, x))) AS en_hits, "

@@ -48,6 +48,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import os
 from collections.abc import Iterator
 from dataclasses import dataclass
 
@@ -133,19 +134,34 @@ def build_index(
         stage("term_stats", lambda: _stage_term_stats(spark, analyzed, wh))
         stage("corpus_stats", lambda: _stage_corpus_stats(spark, wh, n_docs))
 
+    # postings first (the Python-UDF-heavy branch), paired with the pure-JVM
+    # branches; two-way concurrency overlaps scheduling gaps without
+    # oversubscribing Python workers (4 concurrent pandas-UDF jobs x 32
+    # workers each thrashes at scale).
     branches = [
+        lambda: stage("postings", lambda: _stage_postings(spark, analyzed, wh)),
         lambda: stage("doc_stats", lambda: _stage_doc_stats(spark, analyzed, wh)),
         _term_then_corpus,
-        lambda: stage("postings", lambda: _stage_postings(spark, analyzed, wh)),
         lambda: stage("doc_lens", lambda: _stage_doc_lens(spark, analyzed, wh, shard_size)),
     ]
     if parallel:
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=len(branches)) as ex:
-            futures = [ex.submit(b) for b in branches]
-            for f in futures:
-                f.result()
+        # Optionally cache the analyzed table (all branches scan it).
+        # Default OFF: parquet re-reads are cheap (columnar, pruned) and
+        # caching the widest table competes with shuffle/UDF memory at
+        # scale on local[32].
+        cache = os.environ.get("MOOGLE_CACHE_ANALYZED", "0") == "1"
+        if cache:
+            analyzed.persist()
+        try:
+            with ThreadPoolExecutor(max_workers=2) as ex:
+                futures = [ex.submit(b) for b in branches]
+                for f in futures:
+                    f.result()
+        finally:
+            if cache:
+                analyzed.unpersist()
     else:
         for b in branches:
             b()
@@ -225,13 +241,16 @@ def _stage_analyzed(
     )
     srt.unpersist()
     out = wh.read(spark, "analyzed")
-    # sum_dl into the manifest: a doc_len-column-only scan (parquet column
-    # pruning), so corpus_stats later needs no extra jobs.
-    sum_dl = out.agg(F.sum("doc_len")).collect()[0][0] or 0
+    # ONE pass computes both the lineage rollup and sum_dl (columns pruned
+    # to doc_len+sha by the scan): the per-partition rows carry
+    # posting_bytes=sum(doc_len) here, which doubles as the corpus sum_dl.
+    lin = partition_lineage(
+        out, sha_col="content_sha256", bytes_expr=F.col("doc_len")
+    ).persist()
+    sum_dl = lin.agg(F.sum("posting_bytes")).collect()[0][0] or 0
     wh.update_meta("analyzed", {"sum_dl": int(sum_dl)})
-    wh.append_lineage(
-        spark, "analyzed", partition_lineage(out, sha_col="content_sha256")
-    )
+    wh.append_lineage(spark, "analyzed", lin)
+    lin.unpersist()
 
 
 def _stage_doc_stats(spark: SparkSession, analyzed: DataFrame, wh: Warehouse) -> None:

@@ -63,6 +63,56 @@ def run_to_memory_sink(
     q.awaitTermination(timeout_s)
 
 
+def running_search_totals(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    query_col: str = "query",
+    timeout_minutes: int | None = None,
+):
+    """Custom stateful operator via ``applyInPandasWithState``: a running
+    all-time count per query term across micro-batches — the exact
+    semantics of moogle's ZINCRBY counter (StoreSearchTerm.php:31), which
+    a windowed aggregation can't express (no window: state lives forever,
+    or until the optional processing-time timeout).
+
+    Emits one row per (query) per micro-batch in which it appeared, with
+    the updated running total."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    import pandas as pd
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if timeout_minutes
+        else GroupStateTimeout.NoTimeout
+    )
+
+    def update(key, pdfs, state: GroupState):
+        total = state.get[0] if state.exists else 0
+        seen = 0
+        for pdf in pdfs:
+            seen += len(pdf)
+        if seen:
+            total += seen
+            state.update((total,))
+            if timeout_minutes:
+                state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+            yield pd.DataFrame({"query": [key[0]], "searches": [total]})
+        elif state.hasTimedOut:
+            state.remove()
+
+    return (
+        stream.groupBy(F.col(query_col).alias("query"))
+        .applyInPandasWithState(
+            update,
+            outputStructType="query string, searches long",
+            stateStructType="total long",
+            outputMode="update",
+            timeoutConf=timeout,
+        )
+    )
+
+
 def incremental_index_foreachBatch(
     stream: DataFrame, batch_fn, checkpoint: str, timeout_s: float = 120.0
 ) -> None:

@@ -1,0 +1,41 @@
+"""Image-index variant: A4 keyword boost + getTopImages pipeline."""
+
+import pytest
+
+from moogle_spark.imageindex import image_postings, search_images
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "spark shuffle merge join", "spark-logo"),
+        (2, "completely unrelated words here", "spark-banner"),
+        (3, "spark spark spark", "other-image"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_keyword_boost(spark, docs):
+    p = image_postings(docs).toPandas()
+    w = {(r["doc_id"], r["term"]): r["weight"] for _, r in p.iterrows()}
+    assert w[(1, "spark")] == 100  # filename token present in body
+    assert w[(2, "spark")] == 30   # filename token absent from body
+    assert w[(1, "logo")] == 30
+    assert (3, "spark") not in w   # doc3's filename has no 'spark'
+
+
+def test_search_images_pipeline(spark, docs):
+    got = search_images(docs, ["spark", "logo"], k=5).toPandas()
+    # doc1's asset matches both terms (100+30); doc2's matches one (30)
+    assert got.iloc[0]["asset_id"].startswith("spark-logo")
+    assert got.iloc[0]["match_count"] == 2
+    assert got.iloc[0]["cum_weight"] == 130
+    assert got.iloc[1]["asset_id"].startswith("spark-banner")
+    assert got.iloc[1]["cum_weight"] == 30
+    assert len(got) == 2
+
+
+def test_search_images_case_and_no_fuzzy(spark, docs):
+    got = search_images(docs, ["SPARK"], k=5).toPandas()
+    assert len(got) == 2  # lowercased match, but no fuzzy rewrite
+    assert search_images(docs, ["sprk"], k=5).count() == 0

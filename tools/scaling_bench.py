@@ -46,11 +46,14 @@ def child(cores: int, n_docs: int, trials: int) -> None:
 
     best = float("inf")
     wh = f"/tmp/scaling_wh_{cores}"
+    all_times = []
     for _ in range(trials):
         shutil.rmtree(wh, ignore_errors=True)
         t0 = time.time()
         build_index(spark, docs, wh)
-        best = min(best, time.time() - t0)
+        dt = time.time() - t0
+        all_times.append(round(dt, 2))
+        best = min(best, dt)
 
     eng = SearchEngine(spark, wh)
     eng.search("warmup", k=10).collect()
@@ -66,6 +69,7 @@ def child(cores: int, n_docs: int, trials: int) -> None:
         "cores": cores,
         "n_docs": n_docs,
         "build_sec": round(best, 2),
+        "build_sec_trials": all_times,
         "docs_per_sec": round(n_docs / best, 1),
         "query_p50_s": round(float(np.percentile(lat, 50)), 4),
         "query_p99_s": round(float(np.percentile(lat, 99)), 4),
@@ -90,10 +94,9 @@ def main() -> None:
         generate_docs(spark, n_docs).write.mode("overwrite").parquet(corpus)
         spark.stop()
 
-    results = {}
-    for cores in (8, 32):
+    def run_child(cores: int) -> dict:
         p = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--child", str(cores), str(n_docs), str(trials)],
+            [sys.executable, os.path.abspath(__file__), "--child", str(cores), str(n_docs), "1"],
             capture_output=True, text=True, timeout=1800, cwd=REPO,
         )
         line = [ln for ln in p.stdout.splitlines() if ln.startswith("CHILD_RESULT ")]
@@ -101,12 +104,25 @@ def main() -> None:
             print(p.stdout[-3000:])
             print(p.stderr[-3000:])
             raise RuntimeError(f"child {cores} failed")
-        results[cores] = json.loads(line[-1][len("CHILD_RESULT "):])
-        print(json.dumps(results[cores]))
+        r = json.loads(line[-1][len("CHILD_RESULT "):])
+        print(json.dumps(r))
+        return r
+
+    # ALTERNATE parallelism levels across trials so shared-VM noise hits
+    # both levels symmetrically; keep the best (least-disturbed) trial of
+    # each.  Fresh JVM per trial -> identical warmup treatment.
+    runs: dict[int, list[dict]] = {8: [], 32: []}
+    for _ in range(trials):
+        for cores in (8, 32):
+            runs[cores].append(run_child(cores))
+    results = {c: min(rs, key=lambda r: r["build_sec"]) for c, rs in runs.items()}
+    for c in (8, 32):
+        results[c]["build_sec_trials"] = [r["build_sec"] for r in runs[c]]
+    hashes = {r["topk_sha256"] for rs in runs.values() for r in rs}
 
     tp8, tp32 = results[8]["docs_per_sec"], results[32]["docs_per_sec"]
     eff = (tp32 / tp8) / (32 / 8)
-    identical = results[8]["topk_sha256"] == results[32]["topk_sha256"]
+    identical = len(hashes) == 1
     summary = {
         "n_docs": n_docs,
         "throughput_8_cores": tp8,
