@@ -334,6 +334,57 @@ def _q_fingerprints(spark, sf_dir):
     return fingerprints(_docs(spark, sf_dir), n=3)
 
 
+def _cust_urls(spark, sf_dir):
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return cust.select(
+        F.col("c_custkey").cast("long").alias("key"),
+        F.concat(
+            F.lit("https://www."),
+            F.lower("c_mktsegment"),
+            F.lit(".example.com/c/"),
+            F.col("c_custkey").cast("string"),
+            F.when(F.col("c_custkey") % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+            F.when(F.col("c_custkey") % 5 == 0, F.lit("?ref=promo")).otherwise(F.lit("")),
+        ).alias("url"),
+    )
+
+
+def _q_url_normalize(spark, sf_dir):
+    from moogle_spark.urlops import is_valid_url, normalize_url, strip_url
+
+    u = _cust_urls(spark, sf_dir)
+    return u.select(
+        "key",
+        "url",
+        normalize_url(F.col("url")).alias("normalized_url"),
+        strip_url(F.col("url")).alias("stripped_url"),
+        is_valid_url(F.col("url")).alias("is_valid"),
+    )
+
+
+def _q_frontier(spark, sf_dir):
+    from moogle_spark.urlops import frontier_pop, frontier_push
+
+    u = _cust_urls(spark, sf_dir).select(
+        "url", (F.col("key") % 97 - 5).cast("int").alias("depth")
+    )
+    empty = u.filter(F.lit(False))
+    return frontier_pop(frontier_push(empty, u), batch=100)
+
+
+def _q_backlinks(spark, sf_dir):
+    from moogle_spark.linkgraph import tpch_edges
+    from moogle_spark.urlops import backlinks
+
+    return backlinks(tpch_edges(spark, sf_dir)).select(
+        "doc_id",
+        F.array_join(
+            F.transform("backlinks", lambda x: x.cast("string")), ","
+        ).alias("backlinks_csv"),
+        "n_backlinks",
+    )
+
+
 def _q_image_postings(spark, sf_dir):
     from moogle_spark.imageindex import image_postings
 
@@ -400,6 +451,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_centroids": _q_ivf_centroids,
         "ivf_topk": _q_ivf_topk,
         "emb_near_dup": _q_emb_near_dup,
+        # spider/url family (§2.2 F1-F3, §2.1 S2/S3, §2.3 A13, §2.6 T9)
+        "url_normalize": _q_url_normalize,
+        "frontier": _q_frontier,
+        "backlinks_agg": _q_backlinks,
         # image-index variant (§2.3 A4, §3.3)
         "image_postings": _q_image_postings,
         "image_search": _q_image_search,
@@ -464,6 +519,18 @@ def _pagerank_ctes(iterations: int = 10, d: float = 0.85) -> tuple[str, str]:
 
 
 _PR_CTES, _PR_FINAL = _pagerank_ctes()
+
+_URLS = (
+    "urls AS (SELECT c_custkey::BIGINT AS key, "
+    "concat('https://www.', lower(c_mktsegment), '.example.com/c/', c_custkey::VARCHAR, "
+    "CASE WHEN c_custkey % 2 = 0 THEN '/' ELSE '' END, "
+    "CASE WHEN c_custkey % 5 = 0 THEN '?ref=promo' ELSE '' END) AS url FROM customer)"
+)
+
+_NORM_EXPR = (
+    "regexp_replace(regexp_replace(regexp_replace(regexp_replace({col}, "
+    "'^[a-zA-Z][a-zA-Z0-9+.-]*://', ''), '^www\\.', ''), '[?#].*$', ''), '/$', '')"
+)
 
 _EN = "['the', 'and', 'of', 'to', 'in', 'is', 'for', 'with', 'that', 'this']"
 _DE = "['der', 'die', 'das', 'und', 'ist', 'nicht', 'mit', 'ein', 'zu', 'auf']"
@@ -655,6 +722,24 @@ def oracle_sql() -> dict[str, str]:
         "round(sum(a.v * b.v) / (sqrt(sum(a.v * a.v)) * sqrt(sum(b.v * b.v))), 6) AS cosine "
         "FROM flat a JOIN flat b ON a.dim = b.dim AND a.vec_id < b.vec_id GROUP BY 1, 2) "
         "SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.4 ORDER BY id_a, id_b",
+        "url_normalize": f"WITH {_URLS} "
+        "SELECT key, url, "
+        + _NORM_EXPR.format(col="url")
+        + " AS normalized_url, "
+        "regexp_replace(url, '[?#].*$', '') AS stripped_url, "
+        "(regexp_matches(url, '^[\\x20-\\x7e]*$') AND NOT contains(url, '%') "
+        "AND NOT contains(url, 'w/index.php')) AS is_valid FROM urls",
+        "frontier": f"WITH {_URLS}, "
+        "d AS (SELECT url, ((key % 97) - 5)::INT AS depth FROM urls), "
+        "cl AS (SELECT url, (least(greatest(depth, -1000), 10000))::INT AS depth FROM d), "
+        "n AS (SELECT " + _NORM_EXPR.format(col="url") + " AS normalized_url, depth, url FROM cl), "
+        "g AS (SELECT normalized_url, min(depth) AS depth, min(url) AS url "
+        "FROM n GROUP BY normalized_url) "
+        "SELECT normalized_url, depth, url FROM g ORDER BY depth, normalized_url LIMIT 100",
+        "backlinks_agg": f"WITH {_EDGES} "
+        "SELECT dst AS doc_id, "
+        "array_to_string(list_sort(list(DISTINCT src)), ',') AS backlinks_csv, "
+        "count(DISTINCT src)::BIGINT AS n_backlinks FROM edges GROUP BY dst",
         "image_postings": f"WITH {_TOKS}, {_TERMS}, {_TF}, "
         "assets AS (SELECT doc_id, source || '#' || doc_id::VARCHAR AS asset_id, "
         "source AS asset_name FROM documents), "

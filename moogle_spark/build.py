@@ -29,8 +29,9 @@ Pipeline (SURVEY.md §3.2 rebuild; north_star stage list):
                          Document-sharding bounds any hot term's per-group
                          postings to the shard size — skew is structurally
                          defused in addition to AQE.
-  stage 6 `doc_lens`   — per-shard dense doc_len arrays (varint) for exact
-                         scoring at query time.
+  stage 6 `doc_lens`   — per-shard dense doc_len arrays (varint); an
+                         auxiliary artifact (scoring reads the inline
+                         per-block dls copy instead — POSTINGS_SCHEMA).
 
 Each stage commits via Warehouse.write (manifest = commit marker) and
 appends lineage rows; build_index() skips committed stages on re-run, which
@@ -61,7 +62,7 @@ from pyspark.sql import functions as F
 from . import codec
 from .analyzer import term_freqs_positions
 from .scoring import bm25_tfpart
-from .tables import Warehouse, partition_lineage
+from .tables import FORMAT_VERSION, Warehouse, partition_lineage
 
 BLOCK_SIZE = 128
 MAX_INDEX_WORDS = 1000  # reference MAX_INDEX_WORDS, services/indexer/utils/constants.py:23
@@ -74,10 +75,14 @@ ANALYZED_SCHEMA = (
     "terms array<string>, tfs array<int>, positions array<array<int>>"
 )
 
+# dls = varint doc lengths inline per block (impact-index style norms):
+# query-time scoring needs (tf, dl) per posting, so keeping dl beside tf
+# makes a posting block self-contained — no per-query join/cogroup with a
+# doc_lens table (measured: the cogroup shuffle dominated query latency).
 POSTINGS_SCHEMA = (
     "shard int, term string, block_id int, n_docs int, first_doc long, "
     "last_doc long, doc_ids binary, tfs binary, positions binary, "
-    "pos_ints int, block_max_tf double"
+    "dls binary, pos_ints int, block_max_tf double"
 )
 
 DOC_LENS_SCHEMA = "shard int, first_doc long, n_docs int, doc_lens binary"
@@ -118,7 +123,11 @@ def build_index(
     skip: list[str] = []
 
     def stage(name: str, fn) -> None:
-        if not force and wh.is_committed(name):
+        if (
+            not force
+            and wh.is_committed(name)
+            and wh.manifest(name).get("format_version") == FORMAT_VERSION
+        ):
             skip.append(name)
             return
         fn()
@@ -326,7 +335,7 @@ def _stage_postings(spark: SparkSession, analyzed: DataFrame, wh: Warehouse) -> 
     avgdl = float(man["sum_dl"]) / float(n_docs) if n_docs else 1.0
 
     cols = ["shard", "term", "block_id", "n_docs", "first_doc", "last_doc",
-            "doc_ids", "tfs", "positions", "pos_ints", "block_max_tf"]
+            "doc_ids", "tfs", "positions", "dls", "pos_ints", "block_max_tf"]
 
     def encode_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         """One shard's docs -> that shard's full posting-block set.
@@ -385,6 +394,7 @@ def _stage_postings(spark: SparkSession, analyzed: DataFrame, wh: Warehouse) -> 
                         codec.encode_doc_ids(ids),
                         codec.encode_tfs(btf),
                         codec.encode_positions(bpos),
+                        codec.varint_encode(dls[b0:b1]),
                         int((b1 - b0) + int(btf.sum())),
                         float(tfpart.max()),
                     )

@@ -5,8 +5,17 @@ Query lifecycle (SURVEY.md §3.1 rebuild):
   -> optional fuzzy rewrite (fuzzy.py) -> term df/idf lookup (term_stats,
   pruned to the query's terms) -> postings scan filtered by term (parquet
   row-group skipping: postings are written sorted by term within each shard
-  partition) -> per-shard scoring (cogrouped with that shard's doc_len
-  array) -> global top-k merge (TakeOrderedAndProject) -> metadata join.
+  partition) -> per-shard scoring -> global top-k merge
+  (TakeOrderedAndProject) -> metadata join.
+
+Posting blocks are SELF-CONTAINED for scoring: doc lengths are stored
+inline per block (impact-index style norms, build.py POSTINGS_SCHEMA), so
+a query plan is just filter -> groupBy(shard) -> applyInPandas -> top-k.
+The postings DataFrame is pre-partitioned by shard and cached at engine
+init, so the per-query groupBy reuses that partitioning — NO per-query
+shuffle of postings, only the k-rows-per-shard result merge.  (The
+previous design cogrouped postings with a doc_lens table; two shuffles
+per query dominated latency.)
 
 Two scorers, both vectorized numpy inside applyInPandas:
   * exhaustive — decode every candidate block, dense-accumulate scores in
@@ -20,8 +29,8 @@ Two scorers, both vectorized numpy inside applyInPandas:
     including tie-breaks — is identical to exhaustive (asserted in tests).
 
 Per-shard independence is what scales: every query term's postings for a
-shard are colocated, so N -> 4N executors just spreads shards, and the only
-cross-executor traffic is the k-row-per-shard merge.
+shard are colocated, so N -> 4N executors just spreads shards, and the
+only cross-executor traffic is the k-row-per-shard merge.
 """
 
 from __future__ import annotations
@@ -49,12 +58,13 @@ class SearchEngine:
         self.sum_dl = int(cs["sum_dl"])
         self.avgdl = float(self.sum_dl) / float(self.n_docs) if self.n_docs else 1.0
         self.postings = self.wh.read(spark, "postings")
-        self.doc_lens = self.wh.read(spark, "doc_lens")
         self.term_stats = self.wh.read(spark, "term_stats")
         self.doc_stats = self.wh.read(spark, "doc_stats")
         if cache:
-            self.postings = self.postings.persist()
-            self.doc_lens = self.doc_lens.persist()
+            # pre-partition by shard once: the per-query groupBy("shard")
+            # then reuses this partitioning (no exchange in the plan)
+            n_parts = max(8, spark.sparkContext.defaultParallelism)
+            self.postings = self.postings.repartition(n_parts, "shard").persist()
             self.term_stats = self.term_stats.persist()
 
     # ------------------------------------------------------------------
@@ -74,14 +84,9 @@ class SearchEngine:
         if not present:
             return self._empty(enrich)
         idf = {t: float(bm25_idf(self.n_docs, dfs[t])) for t in present}
-        avgdl = self.avgdl
         cand = self.postings.filter(F.col("term").isin(present))
-        fn = _make_scorer(idf, avgdl, k, mode)
-        scored = (
-            cand.groupBy("shard")
-            .cogroup(self.doc_lens.groupBy("shard"))
-            .applyInPandas(fn, RESULT_SCHEMA)
-        )
+        fn = _make_scorer(idf, self.avgdl, k, mode)
+        scored = cand.groupBy("shard").applyInPandas(fn, RESULT_SCHEMA)
         top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
         w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
         out = top.withColumn("rank", F.row_number().over(w)).select(
@@ -112,20 +117,19 @@ class SearchEngine:
 def _make_scorer(idf: dict[str, float], avgdl: float, k: int, mode: str):
     terms_sorted = sorted(idf)
 
-    def score_shard(postings_pdf: pd.DataFrame, lens_pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(postings_pdf) == 0 or len(lens_pdf) == 0:
+    def score_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 0:
             return pd.DataFrame(columns=["shard", "doc_id", "score", "match_count"])
-        shard = int(postings_pdf["shard"].iloc[0])
-        first_doc = int(lens_pdf["first_doc"].iloc[0])
-        n_sh = int(lens_pdf["n_docs"].iloc[0])
-        dls = codec.varint_decode(lens_pdf["doc_lens"].iloc[0], n_sh)
+        shard = int(pdf["shard"].iloc[0])
+        lo = int(pdf["first_doc"].min())
+        span = int(pdf["last_doc"].max()) - lo + 1
         if mode == "exhaustive":
             docs, scores, matches = _score_exhaustive(
-                postings_pdf, terms_sorted, idf, avgdl, first_doc, n_sh, dls, k
+                pdf, terms_sorted, idf, avgdl, lo, span, k
             )
         else:
             docs, scores, matches = _score_bmw(
-                postings_pdf, terms_sorted, idf, avgdl, first_doc, n_sh, dls, k
+                pdf, terms_sorted, idf, avgdl, lo, span, k
             )
         return pd.DataFrame(
             {
@@ -139,15 +143,15 @@ def _make_scorer(idf: dict[str, float], avgdl: float, k: int, mode: str):
     return score_shard
 
 
-def _topk_select(local_hits: np.ndarray, scores: np.ndarray, matches: np.ndarray, first_doc: int, k: int):
+def _topk_select(local_hits: np.ndarray, scores: np.ndarray, matches: np.ndarray, lo: int, k: int):
     order = np.lexsort((local_hits, -scores[local_hits]))[:k]
     sel = local_hits[order]
-    return (sel + first_doc).astype(np.int64), scores[sel], matches[sel]
+    return (sel + lo).astype(np.int64), scores[sel], matches[sel]
 
 
-def _score_exhaustive(pdf, terms_sorted, idf, avgdl, first_doc, n_sh, dls, k):
-    scores = np.zeros(n_sh, dtype=np.float64)
-    matches = np.zeros(n_sh, dtype=np.int64)
+def _score_exhaustive(pdf, terms_sorted, idf, avgdl, lo, span, k):
+    scores = np.zeros(span, dtype=np.float64)
+    matches = np.zeros(span, dtype=np.int64)
     by_term = {t: g for t, g in pdf.groupby("term", sort=False)}
     for t in terms_sorted:  # frozen accumulation order
         g = by_term.get(t)
@@ -158,30 +162,31 @@ def _score_exhaustive(pdf, terms_sorted, idf, avgdl, first_doc, n_sh, dls, k):
             n = int(row["n_docs"])
             ids = codec.decode_doc_ids(row["doc_ids"], n)
             tfs = codec.decode_tfs(row["tfs"], n)
-            loc = ids - first_doc
-            scores[loc] += w * bm25_tfpart(tfs, dls[loc], avgdl)
+            dls = codec.varint_decode(row["dls"], n)
+            loc = ids - lo
+            scores[loc] += w * bm25_tfpart(tfs, dls, avgdl)
             matches[loc] += 1
     hits = np.flatnonzero(matches > 0)
     if hits.size == 0:
         return np.zeros(0, dtype=np.int64), np.zeros(0), np.zeros(0, dtype=np.int64)
-    return _topk_select(hits, scores, matches, first_doc, k)
+    return _topk_select(hits, scores, matches, lo, k)
 
 
-def _score_bmw(pdf, terms_sorted, idf, avgdl, first_doc, n_sh, dls, k):
+def _score_bmw(pdf, terms_sorted, idf, avgdl, lo, span, k):
     """Segment-form block-max WAND. Doc space is cut at every block
     boundary; each segment's bound = Σ over terms of the overlapping
     block's idf*block_max_tf. Segments are scored (exactly, in ascending
     term order) in descending-bound order; once k results exist and the
     next bound < kth score, remaining segments cannot place (strictly —
     so tie-breaking matches exhaustive)."""
-    blocks: list[tuple] = []  # (term_rank, lo, hi, ub, ids_bin, tfs_bin, n)
+    blocks: list[tuple] = []  # (term_rank, lo, hi, ub, ids_bin, tfs_bin, dls_bin, n)
     for rank_t, t in enumerate(terms_sorted):
         g = pdf[pdf["term"] == t]
         for _, row in g.iterrows():
             ub = idf[t] * float(row["block_max_tf"])
             blocks.append(
                 (rank_t, int(row["first_doc"]), int(row["last_doc"]), ub,
-                 row["doc_ids"], row["tfs"], int(row["n_docs"]))
+                 row["doc_ids"], row["tfs"], row["dls"], int(row["n_docs"]))
             )
     if not blocks:
         return np.zeros(0, dtype=np.int64), np.zeros(0), np.zeros(0, dtype=np.int64)
@@ -194,7 +199,7 @@ def _score_bmw(pdf, terms_sorted, idf, avgdl, first_doc, n_sh, dls, k):
         seg_ub[i0:i1] += b[3]
     seg_order = np.argsort(-seg_ub, kind="stable")
 
-    decoded: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    decoded: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
     out_docs: list[np.ndarray] = []
     out_scores: list[np.ndarray] = []
     out_matches: list[np.ndarray] = []
@@ -205,30 +210,30 @@ def _score_bmw(pdf, terms_sorted, idf, avgdl, first_doc, n_sh, dls, k):
             break
         if n_found >= k and seg_ub[si] < theta:
             break
-        lo, hi = int(edges[si]), int(edges[si + 1]) - 1
-        seg_len = hi - lo + 1
+        seg_lo, seg_hi = int(edges[si]), int(edges[si + 1]) - 1
+        seg_len = seg_hi - seg_lo + 1
         sc = np.zeros(seg_len, dtype=np.float64)
         mc = np.zeros(seg_len, dtype=np.int64)
         for bi, b in enumerate(blocks):  # blocks iterate in term order
-            if b[1] > hi or b[2] < lo:
+            if b[1] > seg_hi or b[2] < seg_lo:
                 continue
             if bi not in decoded:
                 decoded[bi] = (
-                    codec.decode_doc_ids(b[4], b[6]),
-                    codec.decode_tfs(b[5], b[6]),
+                    codec.decode_doc_ids(b[4], b[7]),
+                    codec.decode_tfs(b[5], b[7]),
+                    codec.varint_decode(b[6], b[7]),
                 )
-            ids, tfs = decoded[bi]
-            m = (ids >= lo) & (ids <= hi)
+            ids, tfs, dls = decoded[bi]
+            m = (ids >= seg_lo) & (ids <= seg_hi)
             if not m.any():
                 continue
             sids = ids[m]
-            loc = sids - first_doc
-            sc[sids - lo] += idf[terms_sorted[b[0]]] * bm25_tfpart(tfs[m], dls[loc], avgdl)
-            mc[sids - lo] += 1
+            sc[sids - seg_lo] += idf[terms_sorted[b[0]]] * bm25_tfpart(tfs[m], dls[m], avgdl)
+            mc[sids - seg_lo] += 1
         hit = np.flatnonzero(mc > 0)
         if hit.size == 0:
             continue
-        out_docs.append((hit + lo).astype(np.int64))
+        out_docs.append((hit + seg_lo).astype(np.int64))
         out_scores.append(sc[hit])
         out_matches.append(mc[hit])
         n_found += hit.size

@@ -28,6 +28,11 @@ from pyspark.sql import functions as F
 
 MANIFEST = "_MANIFEST.json"
 
+# Bump when any stored-table layout changes: build_index treats committed
+# stages whose manifest carries an older version as NOT committed (rebuild
+# instead of resuming into a stale layout).
+FORMAT_VERSION = 2
+
 LINEAGE_SCHEMA = (
     "stage string, partition_id int, doc_count long, posting_bytes long, "
     "sha256_rollup string, committed_at double"
@@ -74,6 +79,7 @@ class Warehouse:
         man = {
             "table": name,
             "stage": stage,
+            "format_version": FORMAT_VERSION,
             "schema": df.schema.json(),
             "partition_by": partition_by or [],
             "committed_at": time.time(),
