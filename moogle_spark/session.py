@@ -17,7 +17,9 @@ def get_spark(
     cores = cores or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     shuffle_partitions = shuffle_partitions or max(cores, 8)
     builder = (
-        SparkSession.builder.master(f"local[{cores}]")
+        # local[N, 3]: allow 3 task attempts — local mode defaults to ONE
+        # (any transient task failure kills the job; cluster default is 4)
+        SparkSession.builder.master(f"local[{cores}, 3]")
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
