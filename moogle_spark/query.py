@@ -60,12 +60,17 @@ class SearchEngine:
         self.postings = self.wh.read(spark, "postings")
         self.term_stats = self.wh.read(spark, "term_stats")
         self.doc_stats = self.wh.read(spark, "doc_stats")
+        self._sharded = False
         if cache:
-            # pre-partition by shard once: the per-query groupBy("shard")
-            # then reuses this partitioning (no exchange in the plan)
+            # pre-partition by shard once and cache; queries then score via
+            # mapInPandas over the cached partitions — shard co-location is
+            # a physical property of the cache, so no per-query exchange at
+            # all (AQE hides cached outputPartitioning from the optimizer,
+            # which would otherwise re-shuffle under groupBy)
             n_parts = max(8, spark.sparkContext.defaultParallelism)
             self.postings = self.postings.repartition(n_parts, "shard").persist()
             self.term_stats = self.term_stats.persist()
+            self._sharded = True
 
     # ------------------------------------------------------------------
     def term_dfs(self, terms: list[str]) -> dict[str, int]:
@@ -86,7 +91,12 @@ class SearchEngine:
         idf = {t: float(bm25_idf(self.n_docs, dfs[t])) for t in present}
         cand = self.postings.filter(F.col("term").isin(present))
         fn = _make_scorer(idf, self.avgdl, k, mode)
-        scored = cand.groupBy("shard").applyInPandas(fn, RESULT_SCHEMA)
+        if self._sharded:
+            # partitions physically hold whole shards (see __init__) —
+            # score per partition, grouping by shard inside; zero exchange
+            scored = cand.mapInPandas(_partition_scorer(fn), RESULT_SCHEMA)
+        else:
+            scored = cand.groupBy("shard").applyInPandas(fn, RESULT_SCHEMA)
         top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
         w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
         out = top.withColumn("rank", F.row_number().over(w)).select(
@@ -112,6 +122,24 @@ class SearchEngine:
 
 
 # ---------------------------------------------------------------------------
+
+
+def _partition_scorer(shard_fn):
+    """Wrap a per-shard scorer for mapInPandas: concatenate the
+    partition's Arrow batches (a shard's rows may span batches), then
+    score each shard group independently."""
+
+    def run(batches):
+        pdfs = [b for b in batches if len(b)]
+        if not pdfs:
+            return
+        part = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        for _, g in part.groupby("shard", sort=False):
+            out = shard_fn(g.reset_index(drop=True))
+            if len(out):
+                yield out
+
+    return run
 
 
 def _make_scorer(idf: dict[str, float], avgdl: float, k: int, mode: str):
