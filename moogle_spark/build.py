@@ -33,9 +33,17 @@ Pipeline (SURVEY.md §3.2 rebuild; north_star stage list):
                          auxiliary artifact (scoring reads the inline
                          per-block dls copy instead — POSTINGS_SCHEMA).
 
-Each stage commits via Warehouse.write (manifest = commit marker) and
-appends lineage rows; build_index() skips committed stages on re-run, which
-is the kill/resume semantics (tested in tests/test_build_resume.py).
+Each stage commits via Warehouse.write (manifest = commit marker, with all
+rollup keys computed DURING the write job via task accumulators /
+observations so the commit is atomic) and appends lineage rows
+(driver-side pyarrow, one unique file per stage — no concurrent-append
+races between parallel stage branches); build_index() skips committed
+stages on re-run, which is the kill/resume semantics (tested in
+tests/test_build.py::test_resume_skips_committed_stages).
+
+Lineage rollups ride on task ACCUMULATORS keyed by partition id with
+overwrite-merge, so a re-executed task replaces (not double-counts) its
+partition's entry — idempotent under retries/speculation.
 
 Shards are contiguous doc_id ranges: shard = (doc_id - 1) // shard_size.
 A query scores shards independently (every query term's postings for the
@@ -56,23 +64,48 @@ from dataclasses import dataclass
 import numpy as np
 import pandas as pd
 from pyspark import TaskContext
+from pyspark.accumulators import AccumulatorParam
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import codec
 from .analyzer import term_freqs_positions
 from .scoring import bm25_tfpart
-from .tables import FORMAT_VERSION, Warehouse, partition_lineage
+from .tables import FORMAT_VERSION, Warehouse
 
 BLOCK_SIZE = 128
 MAX_INDEX_WORDS = 1000  # reference MAX_INDEX_WORDS, services/indexer/utils/constants.py:23
 NSALT = 16
-TERM_BUCKETS = 64  # applyInPandas group sizing for the block encoder
+# Constant encode-group target, independent of the session's parallelism:
+# the postings stage splits shards into term-hash buckets until the group
+# count reaches this, then range-partitions one group per partition.
+# Groups are equal-sized by construction (equal-size shards x uniform term
+# hash), so no straggler partition — the fix for hash-assignment skew when
+# ~n_shards groups landed on ~cores partitions.
+TARGET_ENCODE_GROUPS = 128
 
+
+class _LineageAccParam(AccumulatorParam):
+    """Dict accumulator keyed by partition id; merge OVERWRITES same-key
+    entries, so a retried/speculated task replaces rather than
+    double-counts its partition's rollup."""
+
+    def zero(self, value):
+        return {}
+
+    def addInPlace(self, v1, v2):
+        v1.update(v2)
+        return v1
+
+# positions is the per-doc FLAT concatenation of each term's position list
+# (term-major, aligned with terms/tfs: term i's positions are the tfs[i]
+# ints after sum(tfs[:i])).  Flat int arrays move through Arrow and the
+# shuffle far cheaper than nested array<array<int>>, and the block encoder
+# re-slices them with offset arithmetic instead of per-posting objects.
 ANALYZED_SCHEMA = (
     "doc_id long, repo string, path string, commit string, lang string, "
     "content_sha256 string, shard int, doc_len int, "
-    "terms array<string>, tfs array<int>, positions array<array<int>>"
+    "terms array<string>, tfs array<int>, positions array<int>"
 )
 
 # dls = varint doc lengths inline per block (impact-index style norms):
@@ -95,6 +128,7 @@ class BuildInfo:
     shard_size: int
     stages_run: list[str]
     stages_skipped: list[str]
+    stage_secs: dict | None = None  # wall-clock per stage (overlaps under parallel=True)
 
 
 def default_shards(n_docs: int) -> int:
@@ -121,6 +155,8 @@ def build_index(
     wh = warehouse if isinstance(warehouse, Warehouse) else Warehouse(warehouse)
     run: list[str] = []
     skip: list[str] = []
+    stage_secs: dict[str, float] = {}
+    import time as _time
 
     def stage(name: str, fn) -> None:
         if (
@@ -130,7 +166,9 @@ def build_index(
         ):
             skip.append(name)
             return
+        t0 = _time.time()
         fn()
+        stage_secs[name] = round(_time.time() - t0, 2)
         run.append(name)
 
     state: dict = {}
@@ -177,18 +215,43 @@ def build_index(
     order = ["analyzed", "doc_stats", "term_stats", "corpus_stats", "postings", "doc_lens"]
     run.sort(key=order.index)
     skip.sort(key=order.index)
-    return BuildInfo(n_docs, shards, shard_size, run, skip)
+    if os.environ.get("MOOGLE_STAGE_TIMING"):
+        print("STAGE_TIMING " + str(stage_secs))
+    return BuildInfo(n_docs, shards, shard_size, run, skip, stage_secs)
 
 
 # ---------------------------------------------------------------------------
 
 
+def _tick(label: str, t0: float) -> float:
+    import time as _time
+
+    t1 = _time.time()
+    if os.environ.get("MOOGLE_STAGE_TIMING"):
+        print(f"SUBSTEP {label} {t1 - t0:.2f}s", flush=True)
+    return t1
+
+
 def _stage_analyzed(
     spark: SparkSession, docs: DataFrame, wh: Warehouse, n_shards: int | None, state: dict
 ) -> None:
+    import time as _time
+
+    from pyspark import StorageLevel
+
+    t = _time.time()
     keys = ["repo", "path", "commit"]
     par = spark.sparkContext.defaultParallelism
-    srt = docs.repartitionByRange(par, *keys).sortWithinPartitions(*keys).persist()
+    # 4x partitions per core: smoother task waves (a straggler costs
+    # 1/(4*cores) of a wave, not 1/cores) — Python workers are reused, so
+    # the extra task count is nearly free.  DISK_ONLY persist: the sorted
+    # corpus is re-read once by the analyze pass; keeping it off-heap
+    # (page cache) avoids competing with UDF/shuffle memory and GC.
+    srt = (
+        docs.repartitionByRange(4 * par, *keys)
+        .sortWithinPartitions(*keys)
+        .persist(StorageLevel.DISK_ONLY)
+    )
     # pass 1: per-partition counts -> deterministic global offsets.
     # (Range-boundary sampling may place rows differently run to run, but
     # doc_id = offset + local position == global sorted rank either way.)
@@ -198,6 +261,7 @@ def _stage_analyzed(
         .count()
         .collect()
     )
+    t = _tick("analyzed.sort_count", t)
     by_pid = {r["pid"]: r["count"] for r in counts}
     n_docs = int(sum(by_pid.values()))
     offsets: dict[int, int] = {}
@@ -209,10 +273,15 @@ def _stage_analyzed(
     shard_size = math.ceil(n_docs / shards) if n_docs else 1
     sc = spark.sparkContext
     b_off = sc.broadcast(offsets)
+    # lineage rollup rides on an accumulator filled by the SAME tasks that
+    # tokenize+write — no read-back scan job afterwards.
+    lin_acc = sc.accumulator({}, _LineageAccParam())
 
     def analyze(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pid = TaskContext.get().partitionId()
         next_id = b_off.value.get(pid, 0) + 1  # doc_ids are 1-based
+        part_shas: list[str] = []
+        part_dl = 0
         for pdf in batches:
             out = {
                 "doc_id": [], "repo": [], "path": [], "commit": [], "lang": [],
@@ -227,39 +296,46 @@ def _stage_analyzed(
                 terms = sorted(tfp)
                 doc_id = next_id
                 next_id += 1
+                sha = hashlib.sha256(content.encode("utf-8")).hexdigest()
+                dl = sum(t[0] for t in tfp.values())
+                part_shas.append(sha)
+                part_dl += dl
                 out["doc_id"].append(doc_id)
                 out["repo"].append(repo)
                 out["path"].append(path)
                 out["commit"].append(commit)
                 out["lang"].append(lang)
-                out["content_sha256"].append(hashlib.sha256(content.encode("utf-8")).hexdigest())
+                out["content_sha256"].append(sha)
                 out["shard"].append((doc_id - 1) // shard_size)
-                out["doc_len"].append(sum(t[0] for t in tfp.values()))
+                out["doc_len"].append(dl)
                 out["terms"].append(terms)
                 out["tfs"].append([tfp[t][0] for t in terms])
-                out["positions"].append([tfp[t][1] for t in terms])
+                out["positions"].append([p for t in terms for p in tfp[t][1]])
             yield pd.DataFrame(out)
+        rollup = hashlib.sha256(",".join(sorted(part_shas)).encode()).hexdigest()
+        lin_acc.add(
+            {pid: {"partition_id": pid, "doc_count": len(part_shas),
+                   "posting_bytes": part_dl, "sha256_rollup": rollup}}
+        )
 
     analyzed = srt.mapInPandas(analyze, ANALYZED_SCHEMA)
+    # sum_dl is in the accumulator once the data write finishes, so the
+    # manifest (the commit marker) carries it atomically — a kill can
+    # never leave a committed-but-rollup-less stage behind.
     wh.write(
         analyzed,
         "analyzed",
         stage="analyzed",
         partition_by=["shard"],
         meta={"n_docs": n_docs, "n_shards": shards, "shard_size": shard_size},
+        meta_fn=lambda: {
+            "sum_dl": int(sum(r["posting_bytes"] for r in lin_acc.value.values()))
+        },
     )
+    t = _tick("analyzed.write", t)
     srt.unpersist()
-    out = wh.read(spark, "analyzed")
-    # ONE pass computes both the lineage rollup and sum_dl (columns pruned
-    # to doc_len+sha by the scan): the per-partition rows carry
-    # posting_bytes=sum(doc_len) here, which doubles as the corpus sum_dl.
-    lin = partition_lineage(
-        out, sha_col="content_sha256", bytes_expr=F.col("doc_len")
-    ).persist()
-    sum_dl = lin.agg(F.sum("posting_bytes")).collect()[0][0] or 0
-    wh.update_meta("analyzed", {"sum_dl": int(sum_dl)})
-    wh.append_lineage(spark, "analyzed", lin)
-    lin.unpersist()
+    wh.append_lineage_rows("analyzed", list(lin_acc.value.values()))
+    _tick("analyzed.lineage", t)
 
 
 def _stage_doc_stats(spark: SparkSession, analyzed: DataFrame, wh: Warehouse) -> None:
@@ -290,8 +366,10 @@ def _stage_doc_stats(spark: SparkSession, analyzed: DataFrame, wh: Warehouse) ->
         ).alias("top_terms"),
     )
     wh.write(ds, "doc_stats", stage="doc_stats", partition_by=["shard"], sort_by=["doc_id"])
-    out = wh.read(spark, "doc_stats")
-    wh.append_lineage(spark, "doc_stats", partition_lineage(out, sha_col="content_sha256"))
+    # lineage from parquet footers: per-file row counts + bytes, metadata
+    # reads only — no read-back scan job (the doc-content sha rollup lives
+    # on the `analyzed` stage's lineage, written by the tokenize tasks).
+    wh.append_lineage_rows("doc_stats", wh.footer_lineage_rows("doc_stats"))
 
 
 def _stage_term_stats(spark: SparkSession, analyzed: DataFrame, wh: Warehouse) -> None:
@@ -305,28 +383,35 @@ def _stage_term_stats(spark: SparkSession, analyzed: DataFrame, wh: Warehouse) -
     )
     partial = exploded.groupBy("term", "salt").agg(F.count(F.lit(1)).alias("c"))
     df_t = partial.groupBy("term").agg(F.sum("c").cast("long").alias("df"))
-    wh.write(df_t, "term_stats", stage="term_stats", sort_by=["term"])
-    out = wh.read(spark, "term_stats")
-    lin = partition_lineage(out).persist()
-    n_terms = int(lin.agg(F.sum("doc_count")).collect()[0][0] or 0)
-    wh.update_meta("term_stats", {"n_terms": n_terms})
-    wh.append_lineage(spark, "term_stats", lin)
-    lin.unpersist()
+    # n_terms via an Observation on the write job itself (no second scan),
+    # folded into the manifest atomically by meta_fn.
+    from pyspark.sql import Observation
+
+    obs = Observation("term_stats")
+    df_t = df_t.observe(obs, F.count(F.lit(1)).alias("n_terms"))
+    wh.write(
+        df_t,
+        "term_stats",
+        stage="term_stats",
+        sort_by=["term"],
+        meta_fn=lambda: {"n_terms": int(obs.get["n_terms"])},
+    )
+    wh.append_lineage_rows("term_stats", wh.footer_lineage_rows("term_stats"))
 
 
 def _stage_corpus_stats(spark: SparkSession, wh: Warehouse, n_docs: int) -> None:
     # all three scalars were rolled up during earlier stages (manifest
-    # metadata) — no scan jobs here.  Built via a 1-partition range, not
-    # createDataFrame (which defaults to defaultParallelism partitions ->
-    # a 32-task write for one row).
+    # metadata) — written driver-side with pyarrow: zero Spark jobs.
+    import pyarrow as pa
+
     sum_dl = int(wh.manifest("analyzed")["sum_dl"])
     n_terms = int(wh.manifest("term_stats")["n_terms"])
-    cs = spark.range(0, 1, 1, 1).select(
-        F.lit(int(n_docs)).cast("long").alias("n_docs"),
-        F.lit(sum_dl).cast("long").alias("sum_dl"),
-        F.lit(n_terms).cast("long").alias("n_terms"),
+    wh.write_local(
+        [{"n_docs": int(n_docs), "sum_dl": sum_dl, "n_terms": n_terms}],
+        {"n_docs": pa.int64(), "sum_dl": pa.int64(), "n_terms": pa.int64()},
+        "corpus_stats",
+        stage="corpus_stats",
     )
-    wh.write(cs, "corpus_stats", stage="corpus_stats")
 
 
 def _stage_postings(spark: SparkSession, analyzed: DataFrame, wh: Warehouse) -> None:
@@ -338,16 +423,20 @@ def _stage_postings(spark: SparkSession, analyzed: DataFrame, wh: Warehouse) -> 
             "doc_ids", "tfs", "positions", "dls", "pos_ints", "block_max_tf"]
 
     def encode_shard(pdf: pd.DataFrame) -> pd.DataFrame:
-        """One shard's docs -> that shard's full posting-block set.
+        """One encode group's docs -> its full posting-block set.
 
         The flatten/sort happens HERE in numpy, not as an exploded Spark
-        shuffle: the per-posting row shuffle (6M+ tiny rows with nested
-        position arrays) was the old bottleneck; shuffling the ~shard_size
-        doc rows (same bytes, 300x fewer rows) and doing the
-        posting-ordering locally is ~3x faster end-to-end.  Sort key is
-        (term_rank, doc_id) where term_rank comes from a hash factorize +
-        a sort of the (small) distinct-term set — no O(n log n) Python
-        string comparisons on the full posting array."""
+        shuffle: shuffling doc rows (same bytes, ~300x fewer rows than
+        per-posting rows) and ordering postings locally is ~3x faster
+        end-to-end.  Everything is vectorized ACROSS blocks: the group's
+        doc-id deltas / tfs / dls / position streams are varint-packed in
+        ONE codec call each (with per-value byte widths), and per-block
+        byte ranges are carved out of those streams with offset
+        arithmetic — no per-posting or per-block Python in the heavy
+        path (the per-block work that remains is slicing bytes objects).
+        Sort key is (term_rank, doc_id) where term_rank comes from a hash
+        factorize + a sort of the (small) distinct-term set — no
+        O(n log n) Python string comparisons on the full posting array."""
         shard = int(pdf["shard"].iloc[0])
         n_per_doc = pdf["terms"].map(len).to_numpy(dtype=np.int64)
         if int(n_per_doc.sum()) == 0:
@@ -356,9 +445,11 @@ def _stage_postings(spark: SparkSession, analyzed: DataFrame, wh: Warehouse) -> 
         dls = np.repeat(pdf["doc_len"].to_numpy(dtype=np.int64), n_per_doc)
         terms = np.concatenate([np.asarray(t, dtype=object) for t in pdf["terms"]])
         tfs = np.concatenate([np.asarray(t, dtype=np.int64) for t in pdf["tfs"]])
-        pos_flat: list = []
-        for doc_pos in pdf["positions"]:
-            pos_flat.extend(doc_pos)
+        # per-doc FLAT position arrays -> one flat stream, doc-major
+        # (posting i owns the tfs[i] ints at doc-major offset po[i])
+        pos_doc_major = np.concatenate(
+            [np.asarray(p, dtype=np.int64) for p in pdf["positions"]]
+        )
         codes, uniques = pd.factorize(terms)
         uorder = np.argsort(uniques, kind="mergesort")
         rank = np.empty(uorder.size, dtype=np.int64)
@@ -366,89 +457,173 @@ def _stage_postings(spark: SparkSession, analyzed: DataFrame, wh: Warehouse) -> 
         order = np.lexsort((doc_ids, rank[codes]))
         terms_s = terms[order]
         doc_ids = doc_ids[order]
-        tfs = tfs[order]
         dls = dls[order]
-        pos_arr = np.empty(len(pos_flat), dtype=object)
-        pos_arr[:] = pos_flat
-        pos_arr = pos_arr[order]
+        tf_dm = tfs  # doc-major tfs, needed for the position gather
+        tfs = tfs[order]
+        n_post = terms_s.size
+
+        # ---- gather positions into sorted-posting order (ragged gather)
+        po = np.zeros(n_post, dtype=np.int64)
+        np.cumsum(tf_dm[:-1], out=po[1:])
+        out_off = np.zeros(n_post + 1, dtype=np.int64)
+        np.cumsum(tfs, out=out_off[1:])
+        total_pos = int(out_off[-1])
+        gather = np.repeat(po[order], tfs) + (
+            np.arange(total_pos) - np.repeat(out_off[:-1], tfs)
+        )
+        pos_s = pos_doc_major[gather]
+
+        # ---- block segmentation (vectorized over terms)
         bounds = np.flatnonzero(terms_s[1:] != terms_s[:-1]) + 1
-        starts = np.concatenate(([0], bounds))
-        ends = np.concatenate((bounds, [terms_s.size]))
-        rows: list[tuple] = []
-        for s, e in zip(starts, ends):
-            term = terms_s[s]
-            for b0 in range(s, e, BLOCK_SIZE):
-                b1 = min(b0 + BLOCK_SIZE, e)
-                ids = doc_ids[b0:b1]
-                btf = tfs[b0:b1]
-                bpos = [np.asarray(p, dtype=np.int64) for p in pos_arr[b0:b1]]
-                tfpart = bm25_tfpart(btf, dls[b0:b1], avgdl)
-                rows.append(
-                    (
-                        shard,
-                        term,
-                        (b0 - s) // BLOCK_SIZE,
-                        b1 - b0,
-                        int(ids[0]),
-                        int(ids[-1]),
-                        codec.encode_doc_ids(ids),
-                        codec.encode_tfs(btf),
-                        codec.encode_positions(bpos),
-                        codec.varint_encode(dls[b0:b1]),
-                        int((b1 - b0) + int(btf.sum())),
-                        float(tfpart.max()),
-                    )
-                )
-        return pd.DataFrame(rows, columns=cols)
+        tstarts = np.concatenate(([0], bounds))
+        tends = np.concatenate((bounds, [n_post]))
+        tlens = tends - tstarts
+        nb = (tlens + BLOCK_SIZE - 1) // BLOCK_SIZE
+        total_blocks = int(nb.sum())
+        nb_off = np.zeros(nb.size + 1, dtype=np.int64)
+        np.cumsum(nb, out=nb_off[1:])
+        block_ids = np.arange(total_blocks) - np.repeat(nb_off[:-1], nb)
+        bstarts = np.repeat(tstarts, nb) + block_ids * BLOCK_SIZE
+        bends = np.minimum(bstarts + BLOCK_SIZE, np.repeat(tends, nb))
+
+        # ---- doc-id deltas with absolute restarts at every block start
+        deltas = np.empty_like(doc_ids)
+        deltas[0] = doc_ids[0]
+        np.subtract(doc_ids[1:], doc_ids[:-1], out=deltas[1:])
+        deltas[bstarts] = doc_ids[bstarts]
+        id_bytes, id_w = codec.varint_encode_with_lens(deltas)
+        id_off = np.zeros(n_post + 1, dtype=np.int64)
+        np.cumsum(id_w, out=id_off[1:])
+        tf_bytes, tf_w = codec.varint_encode_with_lens(tfs)
+        tf_off = np.zeros(n_post + 1, dtype=np.int64)
+        np.cumsum(tf_w, out=tf_off[1:])
+        dl_bytes, dl_w = codec.varint_encode_with_lens(dls)
+        dl_off = np.zeros(n_post + 1, dtype=np.int64)
+        np.cumsum(dl_w, out=dl_off[1:])
+
+        # ---- positions stream: per posting [tf, delta(pos)...], one pack
+        pdelta = np.empty_like(pos_s)
+        if total_pos:
+            pdelta[0] = pos_s[0]
+            np.subtract(pos_s[1:], pos_s[:-1], out=pdelta[1:])
+            pdelta[out_off[:-1]] = pos_s[out_off[:-1]]
+        stream_len = n_post + total_pos
+        stream = np.empty(stream_len, dtype=np.int64)
+        len_slots = np.arange(n_post) + out_off[:-1]
+        stream[len_slots] = tfs
+        mask = np.ones(stream_len, dtype=bool)
+        mask[len_slots] = False
+        stream[mask] = pdelta
+        pos_bytes_all, pos_w = codec.varint_encode_with_lens(stream)
+        pos_boff = np.zeros(stream_len + 1, dtype=np.int64)
+        np.cumsum(pos_w, out=pos_boff[1:])
+        # byte range of block b: start of its first posting's len slot ->
+        # end of its last posting's delta run
+        blk_pos_b0 = pos_boff[len_slots[bstarts]]
+        last = bends - 1
+        blk_pos_b1 = pos_boff[len_slots[last] + 1 + tfs[last]]
+
+        # ---- per-block stats, all reduceat (blocks tile postings exactly)
+        tfpart = bm25_tfpart(tfs, dls, avgdl)
+        bmax = np.maximum.reduceat(tfpart, bstarts)
+        btf_sum = np.add.reduceat(tfs, bstarts)
+        nd = bends - bstarts
+
+        mv_id = memoryview(id_bytes)
+        mv_tf = memoryview(tf_bytes)
+        mv_dl = memoryview(dl_bytes)
+        mv_po = memoryview(pos_bytes_all)
+        return pd.DataFrame(
+            {
+                "shard": np.full(total_blocks, shard, dtype=np.int32),
+                "term": terms_s[bstarts],
+                "block_id": block_ids.astype(np.int32),
+                "n_docs": nd.astype(np.int32),
+                "first_doc": doc_ids[bstarts],
+                "last_doc": doc_ids[last],
+                "doc_ids": [
+                    bytes(mv_id[id_off[s]:id_off[e]]) for s, e in zip(bstarts, bends)
+                ],
+                "tfs": [
+                    bytes(mv_tf[tf_off[s]:tf_off[e]]) for s, e in zip(bstarts, bends)
+                ],
+                "positions": [
+                    bytes(mv_po[a:b]) for a, b in zip(blk_pos_b0, blk_pos_b1)
+                ],
+                "dls": [
+                    bytes(mv_dl[dl_off[s]:dl_off[e]]) for s, e in zip(bstarts, bends)
+                ],
+                "pos_ints": (nd + btf_sum).astype(np.int32),
+                "block_max_tf": bmax,
+            },
+            columns=cols,
+        )
 
     # Parallelism: a group per shard is right at cluster scale (shards >>
-    # cores), but in small corpora the shard count can undershoot the
-    # cores.  Split each shard into term-hash buckets (a term lands wholly
-    # in one bucket, so blocks are unaffected): each doc row is duplicated
-    # per bucket with its arrays FILTERED map-side to that bucket's terms
-    # — total shuffled bytes stay ~constant, group count becomes
-    # shards × buckets.
+    # cores), but in small corpora the shard count can undershoot a useful
+    # group count.  Split each shard into CONTIGUOUS doc-id sub-ranges
+    # until the group count reaches TARGET_ENCODE_GROUPS — a CONSTANT, so
+    # the plan is identical at every parallelism level — then
+    # range-partition ONE group per partition.  Groups are equal-sized
+    # (equal doc ranges), so every encode partition carries the same work:
+    # no hash-assignment skew, no straggler tail (the previous groupBy
+    # hashed ~n_shards groups onto ~cores partitions, leaving some
+    # partitions with 2-3x the groups of others).  Sub-ranges add at most
+    # n_buckets-1 extra blocks per (term, shard) — only in small corpora;
+    # at scale n_buckets == 1 and blocks are exactly per (term, shard).
     n_shards_actual = int(man["n_shards"])
-    par = spark.sparkContext.defaultParallelism
-    n_buckets = max(1, math.ceil(4 * par / max(1, n_shards_actual)))
+    shard_size = int(man["shard_size"])
+    n_buckets = max(1, math.ceil(TARGET_ENCODE_GROUPS / max(1, n_shards_actual)))
+    sc = spark.sparkContext
+    lin_acc = sc.accumulator({}, _LineageAccParam())
+
+    import time as _t
+
+    py_acc = sc.accumulator({}, _LineageAccParam())
+
+    def encode_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pid = TaskContext.get().partitionId()
+        t_py = 0.0
+        pdfs = [b for b in batches if len(b)]
+        n_blocks = 0
+        n_bytes = 0
+        if pdfs:
+            part = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+            gcols = ["shard", "tb"] if "tb" in part.columns else ["shard"]
+            for _, g in part.groupby(gcols, sort=True):
+                t0 = _t.perf_counter()
+                out = encode_shard(g.reset_index(drop=True))
+                t_py += _t.perf_counter() - t0
+                if len(out):
+                    n_blocks += len(out)
+                    n_bytes += int(
+                        sum(len(b) for b in out["doc_ids"])
+                        + sum(len(b) for b in out["tfs"])
+                        + sum(len(b) for b in out["positions"])
+                    )
+                    yield out
+        py_acc.add({pid: {"partition_id": pid, "doc_count": int(t_py * 1000),
+                          "posting_bytes": 0, "sha256_rollup": ""}})
+        lin_acc.add(
+            {pid: {"partition_id": pid, "doc_count": n_blocks,
+                   "posting_bytes": n_bytes, "sha256_rollup": ""}}
+        )
+
     base = analyzed.select("shard", "doc_id", "doc_len", "terms", "tfs", "positions")
     if n_buckets > 1:
-        z = F.arrays_zip("terms", "tfs", "positions")
-        base = (
-            analyzed.select(
-                "shard",
-                "doc_id",
-                "doc_len",
-                F.explode(F.sequence(F.lit(0), F.lit(n_buckets - 1))).alias("tb"),
-                z.alias("z"),
-            )
-            .select(
-                "shard",
-                "doc_id",
-                "doc_len",
-                "tb",
-                F.filter(
-                    "z",
-                    lambda s: F.pmod(F.xxhash64(s["terms"]), F.lit(n_buckets))
-                    == F.col("tb"),
-                ).alias("zf"),
-            )
-            .filter(F.size("zf") > 0)
-            .select(
-                "shard",
-                "doc_id",
-                "doc_len",
-                "tb",
-                F.transform("zf", lambda s: s["terms"]).alias("terms"),
-                F.transform("zf", lambda s: s["tfs"]).alias("tfs"),
-                F.transform("zf", lambda s: s["positions"]).alias("positions"),
-            )
-        )
-        postings = base.groupBy("shard", "tb").applyInPandas(
-            encode_shard, POSTINGS_SCHEMA
-        )
+        # sub-shard = which n_buckets-th of the shard's doc range the doc
+        # falls in; pure column arithmetic, no row duplication.
+        tb = (
+            F.pmod(F.col("doc_id") - 1, F.lit(shard_size)) * n_buckets / F.lit(shard_size)
+        ).cast("int")
+        base = base.withColumn("tb", tb)
+        grouped = base.repartitionByRange(n_shards_actual * n_buckets, "shard", "tb")
     else:
-        postings = base.groupBy("shard").applyInPandas(encode_shard, POSTINGS_SCHEMA)
+        grouped = base.repartitionByRange(n_shards_actual, "shard")
+    postings = grouped.mapInPandas(encode_partition, POSTINGS_SCHEMA)
+    import time as _time
+
+    t = _time.time()
     wh.write(
         postings,
         "postings",
@@ -457,14 +632,12 @@ def _stage_postings(spark: SparkSession, analyzed: DataFrame, wh: Warehouse) -> 
         sort_by=["term", "block_id"],
         meta={"avgdl": avgdl, "n_docs": n_docs, "block_size": BLOCK_SIZE},
     )
-    out = wh.read(spark, "postings")
-    wh.append_lineage(
-        spark,
-        "postings",
-        partition_lineage(
-            out, bytes_expr=F.length("doc_ids") + F.length("tfs") + F.length("positions")
-        ),
-    )
+    t = _tick("postings.write", t)
+    if os.environ.get("MOOGLE_STAGE_TIMING"):
+        tot = sum(r["doc_count"] for r in py_acc.value.values()) / 1000.0
+        print(f"SUBSTEP postings.python_cpu_total {tot:.1f}s", flush=True)
+    wh.append_lineage_rows("postings", list(lin_acc.value.values()))
+    _tick("postings.lineage", t)
 
 
 def _stage_doc_lens(

@@ -22,12 +22,16 @@ import numpy as np
 _U64 = np.uint64
 
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """LEB128-encode a non-negative int array. Vectorized: computes the byte
-    width of every value, scatters 7-bit groups into one output buffer."""
+def varint_encode_with_lens(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """LEB128-encode a non-negative int array; also return the per-value
+    byte width so callers can slice the stream at value boundaries (the
+    block encoder compresses a whole partition's postings in ONE call and
+    carves per-block byte ranges out of the result).  Vectorized: computes
+    the byte width of every value, scatters 7-bit groups into one output
+    buffer."""
     v = np.asarray(values, dtype=_U64)
     if v.size == 0:
-        return b""
+        return b"", np.zeros(0, dtype=np.int64)
     nbits = np.zeros(v.shape, dtype=np.int64)
     tmp = v.copy()
     nz = tmp > 0
@@ -56,7 +60,11 @@ def varint_encode(values: np.ndarray) -> bytes:
         idx[alive] += 1
         alive = more
         shift += _U64(7)
-    return out.tobytes()
+    return out.tobytes(), nbytes
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    return varint_encode_with_lens(values)[0]
 
 
 def varint_decode(buf: bytes, count: int) -> np.ndarray:

@@ -22,16 +22,17 @@ import json
 import os
 import shutil
 import time
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 MANIFEST = "_MANIFEST.json"
 
 # Bump when any stored-table layout changes: build_index treats committed
 # stages whose manifest carries an older version as NOT committed (rebuild
 # instead of resuming into a stale layout).
-FORMAT_VERSION = 2
+# v3: analyzed.positions flattened to array<int> (per-doc term-major).
+FORMAT_VERSION = 3
 
 LINEAGE_SCHEMA = (
     "stage string, partition_id int, doc_count long, posting_bytes long, "
@@ -65,9 +66,17 @@ class Warehouse:
         partition_by: list[str] | None = None,
         sort_by: list[str] | None = None,
         meta: dict | None = None,
+        meta_fn=None,
     ) -> None:
         """Write table + commit manifest. Overwrites any uncommitted or
-        stale previous attempt."""
+        stale previous attempt.
+
+        ``meta_fn`` (if given) is called AFTER the data write and its dict
+        is merged into the manifest before the manifest is created — so
+        rollups computed during the write job (accumulators, observations)
+        land in the SAME atomic commit.  A stage is therefore committed
+        with all its rollup keys or not at all (no resume wedge from a
+        kill between data write and a later metadata update)."""
         p = self.path(name)
         shutil.rmtree(p, ignore_errors=True)
         if sort_by:
@@ -82,6 +91,39 @@ class Warehouse:
             "format_version": FORMAT_VERSION,
             "schema": df.schema.json(),
             "partition_by": partition_by or [],
+            "committed_at": time.time(),
+            **(meta or {}),
+            **(meta_fn() if meta_fn is not None else {}),
+        }
+        tmp = os.path.join(p, MANIFEST + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(man, f, indent=2)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(p, MANIFEST))
+
+    def write_local(
+        self, rows: list[dict], columns: dict, name: str, stage: str, meta: dict | None = None
+    ) -> None:
+        """Driver-side parquet write for tiny tables (e.g. the one-row
+        corpus_stats): no Spark job at all.  ``columns`` maps column name
+        -> pyarrow type.  Readable via the normal spark.read path."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        p = self.path(name)
+        shutil.rmtree(p, ignore_errors=True)
+        os.makedirs(p, exist_ok=True)
+        table = pa.table(
+            {c: pa.array([r[c] for r in rows], type=t) for c, t in columns.items()}
+        )
+        pq.write_table(table, os.path.join(p, "part-00000.parquet"))
+        man = {
+            "table": name,
+            "stage": stage,
+            "format_version": FORMAT_VERSION,
+            "schema": str(table.schema),
+            "partition_by": [],
             "committed_at": time.time(),
             **(meta or {}),
         }
@@ -110,36 +152,68 @@ class Warehouse:
         return spark.read.parquet(self.path(name))
 
     # ---- lineage -------------------------------------------------------
-    def append_lineage(self, spark: SparkSession, stage: str, rows_df: DataFrame) -> None:
-        """rows_df: (partition_id, doc_count, posting_bytes, sha256_rollup)."""
-        out = rows_df.select(
-            F.lit(stage).alias("stage"),
-            F.col("partition_id").cast("int"),
-            F.col("doc_count").cast("long"),
-            F.col("posting_bytes").cast("long"),
-            F.col("sha256_rollup").cast("string"),
-            F.lit(time.time()).alias("committed_at"),
+    def append_lineage_rows(self, stage: str, rows: list[dict]) -> None:
+        """Append per-partition lineage rows, written driver-side with
+        pyarrow into a UNIQUE file per call — zero Spark jobs, and no
+        shared Hadoop _temporary staging dir, so concurrent stage branches
+        can append without racing each other's commit/cleanup.
+
+        rows: dicts with partition_id, doc_count, posting_bytes,
+        sha256_rollup (collected via task accumulators or parquet
+        footers — a handful of rows, trivially driver-sized)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        p = self.path("lineage")
+        os.makedirs(p, exist_ok=True)
+        now = time.time()
+        table = pa.table(
+            {
+                "stage": pa.array([stage] * len(rows), type=pa.string()),
+                "partition_id": pa.array(
+                    [int(r["partition_id"]) for r in rows], type=pa.int32()
+                ),
+                "doc_count": pa.array(
+                    [int(r["doc_count"]) for r in rows], type=pa.int64()
+                ),
+                "posting_bytes": pa.array(
+                    [int(r.get("posting_bytes", 0)) for r in rows], type=pa.int64()
+                ),
+                "sha256_rollup": pa.array(
+                    [str(r.get("sha256_rollup", "")) for r in rows], type=pa.string()
+                ),
+                "committed_at": pa.array([now] * len(rows), type=pa.float64()),
+            }
         )
-        out.write.mode("append").parquet(self.path("lineage"))
+        pq.write_table(table, os.path.join(p, f"{stage}-{uuid.uuid4().hex}.parquet"))
+
+    def footer_lineage_rows(self, name: str) -> list[dict]:
+        """Per-file lineage rows derived from parquet footers (row counts +
+        byte sizes) — metadata-only reads on the driver, no Spark job and
+        no data scanned.  Used for stages whose lineage needs no content
+        sha rollup."""
+        import pyarrow.parquet as pq
+
+        rows: list[dict] = []
+        root = self.path(name)
+        files = []
+        for dirpath, _dirnames, filenames in os.walk(root):
+            for fn in filenames:
+                if fn.endswith(".parquet"):
+                    files.append(os.path.join(dirpath, fn))
+        for i, f in enumerate(sorted(files)):
+            md = pq.ParquetFile(f).metadata
+            rows.append(
+                {
+                    "partition_id": i,
+                    "doc_count": md.num_rows,
+                    "posting_bytes": os.path.getsize(f),
+                    "sha256_rollup": "",
+                }
+            )
+        return rows
 
     def lineage(self, spark: SparkSession) -> DataFrame:
         return spark.read.schema(LINEAGE_SCHEMA).parquet(self.path("lineage"))
 
 
-def partition_lineage(df: DataFrame, count_col: str = "doc_id", sha_col: str | None = None, bytes_expr=None) -> DataFrame:
-    """Per-Spark-partition lineage rollup: (partition_id, doc_count,
-    posting_bytes, sha256_rollup). sha rollup = sha256 over the sorted list
-    of row-level sha256s, order-independent and partition-stable."""
-    g = df.withColumn("partition_id", F.spark_partition_id()).groupBy("partition_id")
-    aggs = [F.count(F.lit(1)).alias("doc_count")]
-    if bytes_expr is not None:
-        aggs.append(F.sum(bytes_expr).cast("long").alias("posting_bytes"))
-    else:
-        aggs.append(F.lit(0).cast("long").alias("posting_bytes"))
-    if sha_col is not None:
-        aggs.append(
-            F.sha2(F.concat_ws(",", F.sort_array(F.collect_list(sha_col))), 256).alias("sha256_rollup")
-        )
-    else:
-        aggs.append(F.lit("").alias("sha256_rollup"))
-    return g.agg(*aggs)
