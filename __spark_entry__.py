@@ -281,9 +281,20 @@ def _q_simhash(spark, sf_dir):
 
 
 def _q_simhash_pairs(spark, sf_dir):
-    from moogle_spark.dedup import simhash_near_pairs
+    # the bucketed (pigeonhole chunk-join) plan — same output as the
+    # all-pairs form (asserted in tests/test_dedup.py), linear candidate
+    # generation instead of the quadratic self-join
+    from moogle_spark.dedup import simhash_near_pairs_bucketed
 
-    return simhash_near_pairs(_docs(spark, sf_dir), max_hamming=3)
+    return simhash_near_pairs_bucketed(_docs(spark, sf_dir), max_hamming=3)
+
+
+def _q_lsh_near_dup(spark, sf_dir):
+    from moogle_spark.dedup import near_dup_pairs_lsh
+
+    return near_dup_pairs_lsh(
+        _docs(spark, sf_dir), n=3, num_hashes=8, bands=4, threshold=0.1
+    )
 
 
 def _q_knn_brute(spark, sf_dir):
@@ -308,6 +319,33 @@ def _q_emb_near_dup(spark, sf_dir):
     from moogle_spark.simsearch import near_duplicate_pairs
 
     return near_duplicate_pairs(_emb(spark, sf_dir), threshold=0.4)
+
+
+def _emb_planted(spark, sf_dir):
+    """Embeddings plus 25 planted near-duplicates (vec_id+10000, each
+    component +0.02 -> cosine ~0.997 to its source): the controlled
+    near-dup population the LSH pair search must recover.  The driver
+    embeddings are near-random (no pairs above cosine 0.6), so without
+    planting there is nothing for a near-dup operator to find."""
+    e = _emb(spark, sf_dir).select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    copies = e.filter(F.col("vec_id") < 25).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        "label",
+        F.transform("embedding", lambda x: x + F.lit(0.02)).alias("embedding"),
+    )
+    return e.unionByName(copies)
+
+
+def _q_emb_near_dup_lsh(spark, sf_dir):
+    from moogle_spark.simsearch import near_duplicate_pairs_lsh
+
+    return near_duplicate_pairs_lsh(
+        _emb_planted(spark, sf_dir), threshold=0.98, num_bits=32, bands=4
+    )
 
 
 def _q_lang_id(spark, sf_dir):
@@ -446,11 +484,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_pairs": _q_lsh_pairs,
         "simhash": _q_simhash,
         "simhash_pairs": _q_simhash_pairs,
+        "lsh_near_dup": _q_lsh_near_dup,
         # similarity search
         "knn_brute": _q_knn_brute,
         "ivf_centroids": _q_ivf_centroids,
         "ivf_topk": _q_ivf_topk,
         "emb_near_dup": _q_emb_near_dup,
+        "emb_near_dup_lsh": _q_emb_near_dup_lsh,
         # spider/url family (§2.2 F1-F3, §2.1 S2/S3, §2.3 A13, §2.6 T9)
         "url_normalize": _q_url_normalize,
         "frontier": _q_frontier,
@@ -697,6 +737,22 @@ def oracle_sql() -> dict[str, str]:
         "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a JOIN bands b "
         "ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id "
         "ORDER BY doc_a, doc_b",
+        "lsh_near_dup": f"WITH {_TOKS}, {_SH}, "
+        f"sig AS (SELECT doc_id, {_MINHASH8} FROM sh GROUP BY doc_id), "
+        "bands AS ("
+        "SELECT doc_id, 0 AS band_id, md5(h0 || '|' || h1) AS bh FROM sig "
+        "UNION ALL SELECT doc_id, 1, md5(h2 || '|' || h3) FROM sig "
+        "UNION ALL SELECT doc_id, 2, md5(h4 || '|' || h5) FROM sig "
+        "UNION ALL SELECT doc_id, 3, md5(h6 || '|' || h7) FROM sig), "
+        "cd AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a "
+        "JOIN bands b ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id), "
+        "sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id), "
+        "c AS (SELECT cd.doc_a, cd.doc_b, count(*) AS common FROM cd "
+        "JOIN sh a ON a.doc_id = cd.doc_a JOIN sh b ON b.doc_id = cd.doc_b "
+        "AND b.shingle = a.shingle GROUP BY 1, 2), "
+        "j AS (SELECT doc_a, doc_b, round(common / (x.n_sh + y.n_sh - common), 6) AS jaccard "
+        "FROM c JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b) "
+        "SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.1 ORDER BY doc_a, doc_b",
         "simhash": f"{_SIMHASH} SELECT doc_id, simhash FROM sim ORDER BY doc_id",
         "simhash_pairs": f"{_SIMHASH} "
         "SELECT doc_a, doc_b, hamming FROM ("
@@ -716,6 +772,30 @@ def oracle_sql() -> dict[str, str]:
         "unnest(q2.qe)::DOUBLE AS qv FROM embeddings e JOIN best USING (label), q2) "
         "SELECT vec_id, label, round(sum(v * qv) / (sqrt(sum(v * v)) * sqrt(sum(qv * qv))), 6) "
         "AS cosine FROM flat2 GROUP BY vec_id, label ORDER BY cosine DESC, vec_id LIMIT 10",
+        "emb_near_dup_lsh": "WITH emb2 AS ("
+        "SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS embedding FROM embeddings "
+        "UNION ALL SELECT vec_id + 10000, list_transform(embedding, x -> x::DOUBLE + 0.02) "
+        "FROM embeddings WHERE vec_id < 25), "
+        "hp AS (SELECT b, d, "
+        "CAST(concat('0x', substr(md5(b::VARCHAR || ':' || d::VARCHAR), 1, 8)) AS BIGINT) "
+        "/ 2147483648.0 - 1.0 AS w "
+        "FROM (SELECT unnest(generate_series(0, 31)) AS b), "
+        "(SELECT unnest(generate_series(1, 64)) AS d)), "
+        "fl AS (SELECT vec_id, unnest(embedding) AS v, "
+        "unnest(generate_series(1, len(embedding))) AS d FROM emb2), "
+        "bits AS (SELECT vec_id, b, CASE WHEN round(sum(v * w), 6) > 0 THEN 1 ELSE 0 END AS bit "
+        "FROM fl JOIN hp USING (d) GROUP BY vec_id, b), "
+        "bv AS (SELECT vec_id, b // 8 AS band_id, "
+        "sum(bit * CAST(pow(2, b % 8) AS BIGINT))::BIGINT AS band_val "
+        "FROM bits GROUP BY vec_id, b // 8), "
+        "cd AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b FROM bv a "
+        "JOIN bv b ON a.band_id = b.band_id AND a.band_val = b.band_val "
+        "AND a.vec_id < b.vec_id), "
+        "p AS (SELECT cd.id_a, cd.id_b, "
+        "round(sum(fa.v * fb.v) / (sqrt(sum(fa.v * fa.v)) * sqrt(sum(fb.v * fb.v))), 6) AS cosine "
+        "FROM cd JOIN fl fa ON fa.vec_id = cd.id_a "
+        "JOIN fl fb ON fb.vec_id = cd.id_b AND fb.d = fa.d GROUP BY 1, 2) "
+        "SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.98 ORDER BY id_a, id_b",
         "emb_near_dup": "WITH flat AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v, "
         "unnest(generate_series(1, len(embedding))) AS dim FROM embeddings), "
         "p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, "

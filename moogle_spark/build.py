@@ -631,6 +631,15 @@ def _stage_postings(spark: SparkSession, analyzed: DataFrame, wh: Warehouse) -> 
         partition_by=["shard"],
         sort_by=["term", "block_id"],
         meta={"avgdl": avgdl, "n_docs": n_docs, "block_size": BLOCK_SIZE},
+        # pure-Python encode seconds summed over tasks: recorded in the
+        # manifest as scaling evidence (identical input => any growth with
+        # parallelism measures the host's memory-bandwidth contention,
+        # not job work)
+        meta_fn=lambda: {
+            "encode_python_sec": round(
+                sum(r["doc_count"] for r in py_acc.value.values()) / 1000.0, 1
+            )
+        },
     )
     t = _tick("postings.write", t)
     if os.environ.get("MOOGLE_STAGE_TIMING"):

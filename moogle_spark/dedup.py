@@ -157,21 +157,25 @@ def minhash_lsh_pairs(
     )
 
 
-def _term_hash16(term_col: Column) -> Column:
-    """First 16 bits of md5(term) as an int, via base-16 conv — identical
-    to the SQL oracle's cast(concat('0x', substr(md5(t),1,4)) as int)."""
-    return F.conv(F.substring(F.md5(term_col), 1, 4), 16, 10).cast("int")
+def _term_hash(term_col: Column, bits: int) -> Column:
+    """First ``bits`` bits of md5(term) as a long, via base-16 conv —
+    identical to the SQL oracle's cast(concat('0x', substr(md5(t),1,k))
+    as int).  bits must be a multiple of 4 and <= 60 (15 hex chars keeps
+    the conv result inside a positive signed long)."""
+    return F.conv(F.substring(F.md5(term_col), 1, bits // 4), 16, 10).cast("long")
 
 
 def simhash(docs: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
     """tf-weighted SimHash fingerprint per doc: bit b is set iff
     Σ_terms tf(t) · (±1 per md5-bit b of t) > 0.  Returns
-    (doc_id, simhash:long)."""
+    (doc_id, simhash:long).  The bit sum is done in LONG (cast inside the
+    sum), so prints are exact up to bits=60 — 16 keeps the DuckDB oracle
+    cheap; 64-bit-class prints are what you'd ship at 100 TB."""
     tf = (
         docs.select("doc_id", F.explode(tokens_col(text_col)).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .withColumn("h", _term_hash16(F.col("term")))
+        .withColumn("h", _term_hash(F.col("term"), bits))
     )
     per_bit = tf.select(
         "doc_id",
@@ -193,9 +197,9 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = 16) -> DataFram
         bitsum.groupBy("doc_id")
         .agg(
             F.sum(
-                F.when(F.col("s") > 0, F.pow(F.lit(2), F.col("bit")).cast("long")).otherwise(
-                    F.lit(0)
-                )
+                F.when(
+                    F.col("s") > 0, F.pow(F.lit(2), F.col("bit")).cast("long")
+                ).otherwise(F.lit(0).cast("long"))
             )
             .cast("long")
             .alias("simhash")
@@ -204,11 +208,13 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = 16) -> DataFram
     )
 
 
-def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """SimHash near-dup pairs by hamming distance on the 16-bit prints.
-    Quadratic join at demo scale; at 100 TB you'd bucket on bit-chunks
-    (pigeonhole: any pair within hamming<=3 shares one of 4 4-bit chunks)."""
-    s = simhash(docs)
+def simhash_near_pairs(
+    docs: DataFrame, max_hamming: int = 3, bits: int = 16
+) -> DataFrame:
+    """SimHash near-dup pairs by hamming distance — the QUADRATIC all-pairs
+    form, kept only as the small-scale oracle for the bucketed plan below
+    (tests assert bucketed == all-pairs)."""
+    s = simhash(docs, bits=bits)
     a = s.alias("a")
     b = s.alias("b")
     x = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
@@ -220,5 +226,99 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
             F.bit_count(x).cast("int").alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def simhash_near_pairs_bucketed(
+    docs: DataFrame, max_hamming: int = 3, bits: int = 16
+) -> DataFrame:
+    """SimHash near-dup pairs via pigeonhole chunk bucketing — the scale
+    path, EXACT (same output as the all-pairs form): split each print
+    into max_hamming+1 bit chunks; a pair within hamming <= max_hamming
+    differs in at most max_hamming chunks, so it MUST agree on at least
+    one chunk and is found by the equi-join on (chunk_id, chunk_val).
+    Shuffles only (chunk_id, chunk_val) keys — linear in docs plus the
+    within-bucket candidate pairs; hamming is then verified exactly.
+    At 16 bits the 4-bit chunks give only 16 buckets apiece (demo scale);
+    at 100 TB use bits=60 (15-bit chunks, 32k buckets each) — the plan is
+    identical."""
+    s = simhash(docs, bits=bits)
+    n_chunks = max_hamming + 1
+    widths = [bits // n_chunks + (1 if i < bits % n_chunks else 0) for i in range(n_chunks)]
+    offsets = [sum(widths[:i]) for i in range(n_chunks)]
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("chunk_id"),
+                F.shiftright(F.col("simhash"), offsets[i])
+                .bitwiseAND(F.lit((1 << widths[i]) - 1))
+                .alias("chunk_val"),
+            )
+            for i in range(n_chunks)
+        ]
+    )
+    banded = s.select(
+        "doc_id", "simhash", F.explode(chunks).alias("c")
+    ).select("doc_id", "simhash", "c.chunk_id", "c.chunk_val")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    x = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_id") == F.col("b.chunk_id"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(x).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()  # a pair can agree on several chunks
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def near_dup_pairs_lsh(
+    docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """The composed reference-quality dedup pipeline: MinHash-LSH
+    candidate generation (linear band join) -> exact n-gram Jaccard
+    verification ON CANDIDATES ONLY.  Returns (doc_a, doc_b, jaccard)
+    for candidates with jaccard >= threshold.  Equivalent to
+    ngram_jaccard_pairs restricted to LSH-candidate pairs — the all-pairs
+    shingle self-join never runs."""
+    cand = minhash_lsh_pairs(docs, n, num_hashes, bands, text_col)
+    sh = doc_shingles(docs, n, text_col)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
         .orderBy("doc_a", "doc_b")
     )

@@ -120,10 +120,9 @@ def ivf_topk(
 def near_duplicate_pairs(
     embeddings: DataFrame, threshold: float = 0.95, id_col: str = "vec_id"
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs (a < b, cosine >= threshold).
-    Demo-scale is the full cross join; at scale, pre-bucket by IVF cell
-    (near-dups share a cell with high probability) or LSH band and join
-    within buckets only."""
+    """Embedding-cosine near-dup pairs (a < b, cosine >= threshold) — the
+    QUADRATIC all-pairs form, kept as the small-scale oracle/recall
+    baseline for near_duplicate_pairs_lsh below (the scale path)."""
     e = embeddings.select(
         F.col(id_col).alias("id"), F.col("embedding").alias("emb")
     )
@@ -131,6 +130,111 @@ def near_duplicate_pairs(
     b = e.select(F.col("id").alias("id_b"), F.col("emb").alias("emb_b"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_col(F.col("emb_a"), F.col("emb_b")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH near-dup — the scale path for the pair search.
+
+
+def hyperplane_weights(num_bits: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes: component (b, d) is an
+    md5-derived uniform in [-1, 1), so the DuckDB oracle can regenerate
+    the identical planes with
+    cast(concat('0x', substr(md5(b || ':' || d), 1, 8)) as bigint)
+    / 2147483648.0 - 1.0.  (A trained/Gaussian bank drops in at scale;
+    determinism across engines is what matters here.)"""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"{b}:{d}".encode()).hexdigest()[:8], 16) / 2147483648.0
+            - 1.0
+            for d in range(1, dim + 1)
+        ]
+        for b in range(num_bits)
+    ]
+
+
+def hyperplane_bands(
+    embeddings: DataFrame,
+    num_bits: int = 32,
+    bands: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, band_id, band_val): sign-of-dot-product bit signature split
+    into ``bands`` integer band values.  Dots are rounded to 6 decimals
+    before the sign test so Spark and the SQL oracle agree bit-for-bit.
+    All JVM-side (zip_with/aggregate against broadcast literal planes)."""
+    r = num_bits // bands
+    dim = len(embeddings.select("embedding").first()["embedding"])
+    planes = hyperplane_weights(num_bits, dim)
+    bits = [
+        (
+            F.round(_dot(F.col("embedding"), F.array(*[F.lit(w) for w in planes[b]])), 6)
+            > 0
+        ).cast("long")
+        for b in range(num_bits)
+    ]
+    band_vals = [
+        sum(bits[bi * r + i] * F.lit(1 << i) for i in range(r)) for bi in range(bands)
+    ]
+    return embeddings.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band_id"), band_vals[bi].alias("band_val")
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "b.band_id", "b.band_val")
+
+
+def near_duplicate_pairs_lsh(
+    embeddings: DataFrame,
+    threshold: float = 0.99,
+    num_bits: int = 32,
+    bands: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Bucketed embedding near-dup — candidate pairs from the hyperplane
+    band join (shuffles only (band_id, band_val) keys: linear in corpus),
+    then EXACT cosine verification on candidates only.  Approximate: a
+    pair whose signature differs in every band is missed — P(miss) =
+    (1 - p^r)^bands with p = 1 - angle/pi, vanishing as cosine -> 1
+    (for cosine 0.99, r=8, b=4: ~1e-3); recall vs the exact all-pairs
+    form is asserted in tests/test_simsearch.py.  Candidate volume for
+    random pairs is ~(1/2^r)*bands of the quadratic (~1.5% at r=8,b=4)."""
+    banded = hyperplane_bands(embeddings, num_bits, bands, id_col)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    e = embeddings.select(F.col(id_col).alias("id"), F.col("embedding").alias("emb"))
+    ea = e.select(F.col("id").alias("id_a"), F.col("emb").alias("emb_a"))
+    eb = e.select(F.col("id").alias("id_b"), F.col("emb").alias("emb_b"))
+    return (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
         .select(
             "id_a",
             "id_b",

@@ -77,3 +77,36 @@ def test_simhash_and_near_pairs(spark, docs):
     assert (1, 2) in pairs
     h12 = got[(got["doc_a"] == 1) & (got["doc_b"] == 2)].iloc[0]["hamming"]
     assert h12 == 0
+
+
+def test_simhash_bucketed_equals_all_pairs(spark):
+    """The pigeonhole chunk-join plan must reproduce the quadratic
+    all-pairs output exactly (it is an exact rewrite, not an
+    approximation)."""
+    from moogle_spark.dedup import simhash_near_pairs_bucketed
+
+    rows = [
+        (i, f"alpha beta gamma delta epsilon zeta token{i % 5} token{i % 7} end")
+        for i in range(40)
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = simhash_near_pairs(d, max_hamming=3).toPandas()
+    bucketed = simhash_near_pairs_bucketed(d, max_hamming=3).toPandas()
+    assert len(exact) > 0  # non-trivial corpus
+    pd.testing.assert_frame_equal(exact, bucketed)
+
+
+def test_lsh_composed_verification(spark, docs):
+    """near_dup_pairs_lsh == exact Jaccard restricted to LSH candidates:
+    on this corpus the planted near-dup pair must survive both stages."""
+    from moogle_spark.dedup import near_dup_pairs_lsh
+
+    got = near_dup_pairs_lsh(docs, n=3, num_hashes=8, bands=4, threshold=0.5).toPandas()
+    pairs = set(zip(got["doc_a"], got["doc_b"]))
+    assert (1, 2) in pairs  # exact duplicates -> jaccard 1.0
+    ex = ngram_jaccard_pairs(docs, n=3, threshold=0.5).toPandas()
+    # every composed pair appears in the exact all-pairs output with the
+    # same jaccard (candidates only restrict, never alter, the measure)
+    ex_pairs = {(a, b): j for a, b, j in zip(ex["doc_a"], ex["doc_b"], ex["jaccard"])}
+    for a, b, j in zip(got["doc_a"], got["doc_b"], got["jaccard"]):
+        assert ex_pairs[(a, b)] == j

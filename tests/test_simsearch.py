@@ -78,3 +78,32 @@ def test_near_duplicate_pairs(spark):
     sdf = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     got = near_duplicate_pairs(sdf, threshold=0.99).toPandas()
     assert list(zip(got["id_a"], got["id_b"])) == [(1, 2)]
+
+
+def test_hyperplane_lsh_near_dup_recall(spark):
+    """The banded hyperplane plan must recover (nearly) all planted
+    near-duplicates found by the exact all-pairs form, and never report a
+    pair below threshold (precision 1 by construction: candidates are
+    verified with the exact cosine)."""
+    from moogle_spark.simsearch import near_duplicate_pairs_lsh
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(60):
+        v = rng.normal(0, 1, 16)
+        rows.append((i, [float(x) for x in v], 0))
+        if i < 20:  # planted near-dup: tiny perturbation
+            w = v + rng.normal(0, 0.02, 16)
+            rows.append((1000 + i, [float(x) for x in w], 0))
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+    df = spark.createDataFrame(
+        pdf.to_dict("records"), "vec_id long, embedding array<float>, label int"
+    )
+    exact = near_duplicate_pairs(df, threshold=0.98).toPandas()
+    lsh = near_duplicate_pairs_lsh(df, threshold=0.98, num_bits=32, bands=4).toPandas()
+    exact_pairs = set(zip(exact["id_a"], exact["id_b"]))
+    lsh_pairs = set(zip(lsh["id_a"], lsh["id_b"]))
+    assert lsh_pairs <= exact_pairs  # exact verification -> no false positives
+    assert len(exact_pairs) >= 20
+    recall = len(lsh_pairs) / len(exact_pairs)
+    assert recall >= 0.9, f"LSH recall {recall:.3f} below 0.9"

@@ -1,17 +1,30 @@
 """Scaling-efficiency evidence (BASELINE.json north_rule): run the SAME
-index-build + query job on the SAME input at two parallelism levels
-(local[8] vs local[32] — the sandbox proxy for N vs 4N executors), report
-throughput at both and the scaling efficiency, and assert the top-k
-results are byte-identical across parallelism (float-determinism clause,
-SURVEY.md §7.3).
+index-build + query job on the SAME input at multiple parallelism levels
+(the sandbox proxy for N vs 4N executors), report throughput at each,
+pairwise scaling efficiency, and assert the top-k results are
+byte-identical across parallelism (float-determinism clause, SURVEY.md
+§7.3).
 
-Parent mode orchestrates two child subprocesses (fresh JVM each, so JIT /
-codegen warmup is identical and paid inside each child's warmup build,
-not in the timed run).  Each child does `trials` timed builds and reports
-the best (the machine is a shared VM; noise only ever slows a trial).
+Methodology notes (BENCH.md has the full analysis):
 
-Usage:  python tools/scaling_bench.py [n_docs] [trials]
+* Each level runs in a FRESH JVM child, **CPU-pinned with `taskset` to
+  exactly its core count** — local[8] on an otherwise-idle 32-CPU box is
+  NOT an 8-core cluster (JVM GC/IO threads and pipelined Python UDF
+  workers soak up the idle cores and inflate the small level's
+  throughput).  Pinning makes local[N] a faithful stand-in for an
+  N-core executor allotment.
+* Levels alternate across trials so shared-VM noise hits all levels
+  symmetrically; best (least-disturbed) trial per level is kept.
+* Children also report the postings stage's pure-Python encode seconds
+  (from the build manifest): the input is identical at every level, so
+  any growth of that number with parallelism measures the single host's
+  memory-bandwidth saturation — contention a real 4N-executor cluster
+  (4x sockets, 4x memory channels) does not have.  This is the evidence
+  separating job-design scaling from single-box artifacts.
+
+Usage:  python tools/scaling_bench.py [n_docs] [trials] [levels...]
         python tools/scaling_bench.py --child <cores> <n_docs> <trials>
+Default levels: 2 8 32 (pairs 2->8 and 8->32 both reported).
 """
 
 from __future__ import annotations
@@ -35,6 +48,7 @@ def child(cores: int, n_docs: int, trials: int) -> None:
     from moogle_spark.corpus import generate_docs, reference_queries
     from moogle_spark.query import SearchEngine
     from moogle_spark.session import get_spark
+    from moogle_spark.tables import Warehouse
 
     import numpy as np
 
@@ -54,6 +68,7 @@ def child(cores: int, n_docs: int, trials: int) -> None:
         dt = time.time() - t0
         all_times.append(round(dt, 2))
         best = min(best, dt)
+    encode_py = Warehouse(wh).manifest("postings").get("encode_python_sec")
 
     eng = SearchEngine(spark, wh)
     eng.search("warmup", k=10).collect()
@@ -71,6 +86,7 @@ def child(cores: int, n_docs: int, trials: int) -> None:
         "build_sec": round(best, 2),
         "build_sec_trials": all_times,
         "docs_per_sec": round(n_docs / best, 1),
+        "encode_python_sec": encode_py,
         "query_p50_s": round(float(np.percentile(lat, 50)), 4),
         "query_p99_s": round(float(np.percentile(lat, 99)), 4),
         "topk_sha256": h.hexdigest(),
@@ -84,6 +100,7 @@ def main() -> None:
         return
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
     trials = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    levels = [int(a) for a in sys.argv[3:]] or [2, 8, 32]
 
     corpus = CORPUS.format(n=n_docs)
     if not os.path.exists(corpus):
@@ -94,11 +111,15 @@ def main() -> None:
         generate_docs(spark, n_docs).write.mode("overwrite").parquet(corpus)
         spark.stop()
 
+    have_taskset = shutil.which("taskset") is not None
+
     def run_child(cores: int) -> dict:
-        p = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--child", str(cores), str(n_docs), "1"],
-            capture_output=True, text=True, timeout=1800, cwd=REPO,
-        )
+        cmd = [sys.executable, os.path.abspath(__file__), "--child", str(cores), str(n_docs), "1"]
+        if have_taskset:
+            # pin the whole child tree (JVM + python workers) to exactly
+            # `cores` CPUs: local[N] as an honest N-core executor proxy
+            cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+        p = subprocess.run(cmd, capture_output=True, text=True, timeout=3600, cwd=REPO)
         line = [ln for ln in p.stdout.splitlines() if ln.startswith("CHILD_RESULT ")]
         if not line:
             print(p.stdout[-3000:])
@@ -109,27 +130,38 @@ def main() -> None:
         return r
 
     # ALTERNATE parallelism levels across trials so shared-VM noise hits
-    # both levels symmetrically; keep the best (least-disturbed) trial of
+    # all levels symmetrically; keep the best (least-disturbed) trial of
     # each.  Fresh JVM per trial -> identical warmup treatment.
-    runs: dict[int, list[dict]] = {8: [], 32: []}
+    runs: dict[int, list[dict]] = {c: [] for c in levels}
     for _ in range(trials):
-        for cores in (8, 32):
+        for cores in levels:
             runs[cores].append(run_child(cores))
     results = {c: min(rs, key=lambda r: r["build_sec"]) for c, rs in runs.items()}
-    for c in (8, 32):
+    for c in levels:
         results[c]["build_sec_trials"] = [r["build_sec"] for r in runs[c]]
     hashes = {r["topk_sha256"] for rs in runs.values() for r in rs}
 
-    tp8, tp32 = results[8]["docs_per_sec"], results[32]["docs_per_sec"]
-    eff = (tp32 / tp8) / (32 / 8)
-    identical = len(hashes) == 1
+    pairs = []
+    for lo, hi in zip(levels, levels[1:]):
+        tp_lo = results[lo]["docs_per_sec"]
+        tp_hi = results[hi]["docs_per_sec"]
+        pairs.append(
+            {
+                "pair": f"{lo}->{hi}",
+                "cores_ratio": hi / lo,
+                "speedup": round(tp_hi / tp_lo, 3),
+                "scaling_efficiency": round((tp_hi / tp_lo) / (hi / lo), 3),
+            }
+        )
     summary = {
         "n_docs": n_docs,
-        "throughput_8_cores": tp8,
-        "throughput_32_cores": tp32,
-        "speedup_8_to_32": round(tp32 / tp8, 3),
-        "scaling_efficiency": round(eff, 3),
-        "topk_byte_identical_across_parallelism": identical,
+        "cpu_pinned": have_taskset,
+        "throughputs": {str(c): results[c]["docs_per_sec"] for c in levels},
+        "encode_python_sec": {
+            str(c): results[c].get("encode_python_sec") for c in levels
+        },
+        "pairs": pairs,
+        "topk_byte_identical_across_parallelism": len(hashes) == 1,
         "detail": results,
     }
     print("SCALING_SUMMARY " + json.dumps(summary))
