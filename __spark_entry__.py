@@ -435,6 +435,32 @@ def _q_image_search(spark, sf_dir):
     return search_images(_docs(spark, sf_dir), ["src1", "src12"], k=5)
 
 
+def _q_image_search_enriched(spark, sf_dir):
+    from moogle_spark.imageindex import search_images_enriched
+
+    return search_images_enriched(_docs(spark, sf_dir), ["src1", "src12"], k=5)
+
+
+def _q_behavioral(spark, sf_dir):
+    # page 2 of the reference pipeline with the dead-pagerank bug
+    # (ranks=None): global (matchCount, cumWeight) order decides WHICH 20
+    # docs are on page 2; the 0.6-blend re-sorts only within that page
+    from moogle_spark.textops import search_behavioral
+
+    return search_behavioral(_docs(spark, sf_dir), QUERY_TERMS, page=2, per_page=20)
+
+
+def _q_rfc1123(spark, sf_dir):
+    from moogle_spark.urlops import format_rfc1123, parse_rfc1123
+
+    ev = _events(spark, sf_dir).filter(F.col("event_id") % 50 == 0)
+    return ev.select(
+        "event_id",
+        format_rfc1123(F.col("ts")).alias("rfc1123"),
+        parse_rfc1123(format_rfc1123(F.col("ts"))).alias("parsed_ts"),
+    )
+
+
 def _q_multimodal(spark, sf_dir):
     from moogle_spark.multimodal import extract_features, synth_media
 
@@ -495,9 +521,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize": _q_url_normalize,
         "frontier": _q_frontier,
         "backlinks_agg": _q_backlinks,
-        # image-index variant (§2.3 A4, §3.3)
+        # image-index variant (§2.3 A4, §3.3, J5)
         "image_postings": _q_image_postings,
         "image_search": _q_image_search,
+        "image_search_enriched": _q_image_search_enriched,
+        # behavioral ranking mode (T2 offset pagination + T3 page-local
+        # re-sort + the J3 dead-pagerank bug)
+        "behavioral_page": _q_behavioral,
+        # X7 RFC1123 timestamp parse/format round-trip
+        "rfc1123_roundtrip": _q_rfc1123,
         # text analysis
         "lang_id": _q_lang_id,
         "quality": _q_quality,
@@ -844,6 +876,47 @@ def oracle_sql() -> dict[str, str]:
         "SELECT asset_id, count(*)::INT AS match_count, sum(weight)::BIGINT AS cum_weight "
         "FROM wp GROUP BY asset_id "
         "ORDER BY match_count DESC, cum_weight DESC, asset_id LIMIT 5",
+        "image_search_enriched": f"WITH {_TOKS}, {_TERMS}, {_TF}, "
+        "assets AS (SELECT doc_id, source || '#' || doc_id::VARCHAR AS asset_id, "
+        "source AS asset_name FROM documents), "
+        "nt AS (SELECT DISTINCT a.doc_id, a.asset_id, "
+        "unnest(list_filter(regexp_split_to_array(lower(a.asset_name), '[^a-z0-9]+'), "
+        "x -> x <> '')) AS term FROM assets a), "
+        "bt AS (SELECT DISTINCT doc_id, term FROM tf), "
+        "wp AS (SELECT nt.term, nt.asset_id, "
+        "(CASE WHEN bt.term IS NOT NULL THEN 100 ELSE 30 END)::BIGINT AS weight "
+        "FROM nt LEFT JOIN bt ON bt.doc_id = nt.doc_id AND bt.term = nt.term "
+        "WHERE nt.term IN ('src1', 'src12')), "
+        "ranked AS (SELECT asset_id, count(*)::INT AS match_count, "
+        "sum(weight)::BIGINT AS cum_weight FROM wp GROUP BY asset_id "
+        "ORDER BY match_count DESC, cum_weight DESC, asset_id LIMIT 5) "
+        "SELECT r.asset_id, r.match_count, r.cum_weight, a.doc_id, a.asset_name, "
+        "d.lang AS page_lang, d.source AS page_url, substr(d.text, 1, 100) AS snippet "
+        "FROM ranked r LEFT JOIN assets a ON a.asset_id = r.asset_id "
+        "LEFT JOIN documents d ON d.doc_id = a.doc_id "
+        "ORDER BY r.match_count DESC, r.cum_weight DESC, r.asset_id",
+        "behavioral_page": f"WITH {_TOKS}, {_TERMS}, {_TF}, {_DF}, "
+        f"m AS (SELECT tf.doc_id, tf.tf * log10((SELECT count(*) FROM documents)::DOUBLE / (dft.df + 1)) AS w "
+        f"FROM tf JOIN dft ON tf.term = dft.term WHERE tf.term IN {_QT_IN}), "
+        "g AS (SELECT doc_id, count(*)::INT AS match_count, round(sum(w), 6) AS cum_weight "
+        "FROM m GROUP BY doc_id), "
+        "top AS (SELECT * FROM g ORDER BY match_count DESC, cum_weight DESC, doc_id LIMIT 40), "
+        "pg AS (SELECT doc_id, match_count, cum_weight, row_number() OVER "
+        "(ORDER BY match_count DESC, cum_weight DESC, doc_id)::INT AS rank_global FROM top) "
+        "SELECT doc_id, match_count, cum_weight, rank_global, "
+        "round(0.6 * cum_weight, 6) AS combined "
+        "FROM pg WHERE rank_global > 20 ORDER BY combined DESC, doc_id",
+        "rfc1123_roundtrip": "SELECT event_id, "
+        "strftime(ts, '%a, %d %b %Y %H:%M:%S GMT') AS rfc1123, "
+        "strptime(strftime(ts, '%a, %d %b %Y %H:%M:%S GMT'), "
+        "'%a, %d %b %Y %H:%M:%S GMT') AS parsed_ts "
+        "FROM events WHERE event_id % 50 = 0",
+        "multimodal_features": "WITH ch AS (SELECT doc_id, "
+        "unnest(regexp_extract_all(text, '(?s).')) AS c FROM documents), "
+        "h AS (SELECT doc_id, count(*) AS n, count(*) FILTER (ord(c) < 16) AS b0 "
+        "FROM ch GROUP BY doc_id) "
+        "SELECT doc_id AS asset_id, 'image' AS modality, n::BIGINT AS n_bytes, "
+        "round(b0 / n, 6) AS f0 FROM h",
         "lang_id": f"WITH {_TOKS}, "
         f"m AS (SELECT doc_id, lang, len(t) AS n_toks, "
         f"len(list_filter(t, x -> list_contains({_EN}, x))) AS en_hits, "
@@ -871,9 +944,11 @@ def oracle_sql() -> dict[str, str]:
         "fingerprints": f"WITH {_TOKS}, {_SH} "
         "SELECT doc_id, min(md5(shingle)) AS fingerprint, count(*)::BIGINT AS n_shingles "
         "FROM sh GROUP BY doc_id ORDER BY doc_id",
-        # multimodal_features / engine_bm25: intentionally no oracle —
-        # Arrow-UDF feature extraction and the compressed-postings WAND
-        # engine aren't SQL-expressible; driver records rows-only checks,
-        # and the engine is verified rank-identical against the in-repo
-        # Python oracle in tests/test_engine_parity.py.
+        # multimodal_features now HAS an oracle: the deterministic fake
+        # decoder is a byte histogram of the utf-8 payload, and the driver
+        # documents are pure ASCII, so per-char ord() in SQL reproduces
+        # the byte bins exactly.  engine_bm25 remains the one no-oracle
+        # entry: the compressed-postings WAND engine isn't
+        # SQL-expressible; it is verified rank-identical against the
+        # in-repo Python oracle in tests/test_engine_parity.py.
     }

@@ -83,3 +83,43 @@ def search_images(
         .orderBy(F.desc("match_count"), F.desc("cum_weight"), F.asc("asset_id"))
         .limit(k)
     )
+
+
+def search_images_enriched(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 5,
+    asset_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """J5 — the reference's two-level image-result enrichment
+    (QuerySearchController.php:166-213): ranked asset ids are joined back
+    to the image data (page url + filename, `:180-190`) and then to the
+    host page's metadata (title/summary, `:193-213`, incl. the substr
+    snippet X9 at `:205-212`).  Both joins broadcast the k-row ranked
+    side, so enrichment costs two broadcast probes regardless of corpus
+    size."""
+    ranked = search_images(docs, query_terms, k, asset_col)
+    assets = image_assets(docs, asset_col)
+    pages = docs.select(
+        "doc_id",
+        F.col("lang").alias("page_lang"),
+        F.col(asset_col).alias("page_url"),
+        F.substring(F.col(text_col), 1, 100).alias("snippet"),
+    )
+    return (
+        F.broadcast(ranked)
+        .join(assets, "asset_id", "left")
+        .join(pages, "doc_id", "left")
+        .select(
+            "asset_id",
+            "match_count",
+            "cum_weight",
+            "doc_id",
+            "asset_name",
+            "page_lang",
+            "page_url",
+            "snippet",
+        )
+        .orderBy(F.desc("match_count"), F.desc("cum_weight"), F.asc("asset_id"))
+    )

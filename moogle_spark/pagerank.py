@@ -38,36 +38,47 @@ def pagerank(
     deduped here (U1 set semantics) and self-loops dropped (U2,
     spider/internal/crawler/crawler.go:75-77).  Returns (doc_id, rank)."""
     e = edges.filter(F.col("src") != F.col("dst")).distinct().persist()
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     nodes = e.select(F.col("src").alias("doc_id")).distinct().persist()
-    n = nodes.count()
-    if n == 0:
-        return edges.sparkSession.createDataFrame([], "doc_id long, rank double")
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
-    base = (1.0 - damping) / n
-    # pre-join edge weights once: (src, dst, 1/outdeg)
-    ew = e.join(outdeg, "src").select(
-        "src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("inv_outdeg")
-    ).persist()
-    ew.count()
-    for _ in range(iterations):
-        contrib = (
-            ew.join(ranks, ew.src == ranks.doc_id, "inner")
-            .select("dst", (F.col("rank") * F.col("inv_outdeg")).alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("contrib"))
-        )
-        new_ranks = nodes.join(contrib, nodes.doc_id == contrib.dst, "left").select(
-            "doc_id",
-            (F.lit(base) + damping * F.coalesce(F.col("contrib"), F.lit(0.0))).alias(
-                "rank"
-            ),
-        )
-        # eager localCheckpoint: materializes AND truncates lineage, so the
-        # per-iteration plan stays O(1) instead of compounding 10 joins deep
-        # (on a real cluster use df.checkpoint() with a reliable dir)
-        ranks = new_ranks.localCheckpoint(eager=True)
-    return ranks.orderBy("doc_id")
+    ew = None
+    try:
+        outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+        n = nodes.count()
+        if n == 0:
+            return edges.sparkSession.createDataFrame([], "doc_id long, rank double")
+        ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+        base = (1.0 - damping) / n
+        # pre-join edge weights once: (src, dst, 1/outdeg)
+        ew = e.join(outdeg, "src").select(
+            "src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("inv_outdeg")
+        ).persist()
+        ew.count()
+        for _ in range(iterations):
+            contrib = (
+                ew.join(ranks, ew.src == ranks.doc_id, "inner")
+                .select("dst", (F.col("rank") * F.col("inv_outdeg")).alias("c"))
+                .groupBy("dst")
+                .agg(F.sum("c").alias("contrib"))
+            )
+            new_ranks = nodes.join(contrib, nodes.doc_id == contrib.dst, "left").select(
+                "doc_id",
+                (F.lit(base) + damping * F.coalesce(F.col("contrib"), F.lit(0.0))).alias(
+                    "rank"
+                ),
+            )
+            # eager localCheckpoint: materializes AND truncates lineage, so
+            # the per-iteration plan stays O(1) instead of compounding 10
+            # joins deep (on a real cluster use df.checkpoint() with a
+            # reliable dir)
+            ranks = new_ranks.localCheckpoint(eager=True)
+        return ranks.orderBy("doc_id")
+    finally:
+        # ranks is localCheckpointed, so the caches are safe to drop —
+        # without this every pagerank() call leaked three cached
+        # DataFrames for the session lifetime
+        e.unpersist()
+        nodes.unpersist()
+        if ew is not None:
+            ew.unpersist()
 
 
 def top_ranked(ranks: DataFrame, k: int = 1) -> DataFrame:

@@ -156,6 +156,58 @@ def bm25_search(docs: DataFrame, query_terms: list[str], k: int = 20) -> DataFra
     )
 
 
+def search_behavioral(
+    docs: DataFrame,
+    query_terms: list[str],
+    page: int = 1,
+    per_page: int = 20,
+    ranks: DataFrame | None = None,
+    w_text: float = 0.6,
+    w_rank: float = 0.4,
+) -> DataFrame:
+    """T2+T3+J3 behavioral mode — the reference's full result pipeline
+    with its quirks preserved (QuerySearchController.php:279-341):
+
+      1. GLOBAL order is (matchCount desc, cumWeight desc)  (`:279`)
+      2. offset pagination: skip (page-1)*per_page, take per_page
+         (`:280-281`, perPage=20 `:252`)
+      3. blend combined = 0.6*cumWeight + 0.4*pagerank (`:332`) — but the
+         reference's `:325` reads an undefined $pageRankByUrl, so rank is
+         effectively ALWAYS 0: ranks=None reproduces that bug
+         bit-for-bit (combined = 0.6*cumWeight); pass a (doc_id, rank)
+         DataFrame for the fixed behavior
+      4. the blend re-sorts ONLY within the fetched page (PHP usort,
+         `:339-341`) — a lower-matchCount/higher-weight doc can outrank
+         within its page but never cross pages.
+
+    Scalable pagination: the global sort materializes only the first
+    page*per_page rows (TakeOrderedAndProject), then the row_number
+    window runs on that tiny set — no full-result single-partition
+    window."""
+    top_n = page * per_page
+    base = search_group_sum(docs, query_terms, k=top_n)
+    w = Window.orderBy(F.desc("match_count"), F.desc("cum_weight"), F.asc("doc_id"))
+    paged = (
+        base.withColumn("rank_global", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank_global") > (page - 1) * per_page)
+    )
+    if ranks is not None:
+        paged = paged.join(ranks, "doc_id", "left")
+        r = F.coalesce(F.col("rank"), F.lit(0.0))
+    else:
+        r = F.lit(0.0)  # the `:325` dead-pagerank bug, faithfully
+    return (
+        paged.select(
+            "doc_id",
+            "match_count",
+            "cum_weight",
+            "rank_global",
+            F.round(w_text * F.col("cum_weight") + w_rank * r, 6).alias("combined"),
+        )
+        .orderBy(F.desc("combined"), F.asc("doc_id"))
+    )
+
+
 def total_hits(docs: DataFrame, query_terms: list[str]) -> DataFrame:
     """A12 (QuerySearchController.php:255-266): distinct matching docs."""
     hits = (

@@ -63,7 +63,9 @@ def frontier_push(
     frontier: DataFrame, discovered: DataFrame, url_col: str = "url"
 ) -> DataFrame:
     """S3: union new links into the frontier — dedupe on normalized url
-    (first writer wins: min depth kept), clamp depth to
+    (min depth kept; among raw urls sharing a normalized form the
+    LEXICOGRAPHIC-MIN url is retained — a deterministic stand-in for the
+    reference's arbitrary first-writer-wins ZAdd), clamp depth to
     [MIN_SCORE, MAX_SCORE]."""
     both = frontier.select(url_col, "depth").union(discovered.select(url_col, "depth"))
     clamped = both.withColumn(
@@ -92,3 +94,28 @@ def backlinks(edges: DataFrame) -> DataFrame:
         .agg(F.array_sort(F.collect_set("src")).alias("backlinks"))
         .withColumn("n_backlinks", F.size("backlinks").cast("long"))
     )
+
+
+# X7 — RFC1123 timestamps.  The reference serializes/parses page and
+# metadata timestamps as RFC1123 strings (spider page.go:56 via
+# time.RFC1123 "Mon, 02 Jan 2006 15:04:05 MST"; indexer
+# models/metadata.py:29-33 and utils/parse.go:21-28 parse the same form).
+# We standardize on TimestampType internally and expose the format at the
+# edges, all JVM-side (to_timestamp/date_format, no Python).
+
+RFC1123_FMT = "EEE, dd MMM yyyy HH:mm:ss 'GMT'"
+
+
+def parse_rfc1123(col: Column) -> Column:
+    """RFC1123 string -> timestamp (UTC), e.g.
+    'Sun, 06 Nov 1994 08:49:37 GMT'.  The redundant weekday prefix is
+    stripped before parsing (Spark's proleptic parser rejects 'EEE' as a
+    parse pattern; the weekday carries no information)."""
+    return F.to_timestamp(
+        F.regexp_replace(col, "^[A-Za-z]{3}, ", ""), "dd MMM yyyy HH:mm:ss 'GMT'"
+    )
+
+
+def format_rfc1123(col: Column) -> Column:
+    """timestamp -> RFC1123 string (GMT suffix, reference wire format)."""
+    return F.date_format(col, RFC1123_FMT)

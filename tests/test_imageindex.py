@@ -39,3 +39,27 @@ def test_search_images_case_and_no_fuzzy(spark, docs):
     got = search_images(docs, ["SPARK"], k=5).toPandas()
     assert len(got) == 2  # lowercased match, but no fuzzy rewrite
     assert search_images(docs, ["sprk"], k=5).count() == 0
+
+
+def test_search_images_enriched(spark):
+    """J5: every ranked asset comes back with its page metadata and a
+    <=100-char snippet (QuerySearchController.php:166-213 enrichment)."""
+    from moogle_spark.imageindex import search_images_enriched
+
+    rows = [
+        (1, "spark shuffle notes about joins", "en", "img/spark_logo.png"),
+        (2, "unrelated text body", "en", "img/cat_photo.jpg"),
+        (3, "spark tuning guide content", "de", "docs/spark_guide.txt"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    got = search_images_enriched(d, ["spark"], k=5).toPandas()
+    assert len(got) == 2  # docs 1 and 3 have 'spark' in the asset name
+    assert set(got["doc_id"]) == {1, 3}
+    # keyword boost: 'spark' is in both docs' bodies -> weight 100 each
+    assert (got["cum_weight"] == 100).all()
+    assert (got["page_url"] == got["asset_name"]).all()
+    assert got["snippet"].str.len().max() <= 100
+    assert set(got.columns) == {
+        "asset_id", "match_count", "cum_weight", "doc_id",
+        "asset_name", "page_lang", "page_url", "snippet",
+    }

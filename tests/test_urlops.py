@@ -88,3 +88,32 @@ def test_backlinks(spark):
     assert list(got.loc[9, "backlinks"]) == [1, 2]
     assert got.loc[9, "n_backlinks"] == 2
     assert list(got.loc[7, "backlinks"]) == [3]
+
+
+def test_rfc1123_roundtrip(spark):
+    """X7: format -> parse is the identity on whole-second timestamps
+    (reference wire format, spider page.go:56 / indexer metadata.py:29-33)."""
+    from pyspark.sql import functions as F
+
+    from moogle_spark.urlops import format_rfc1123, parse_rfc1123
+
+    d = spark.createDataFrame(
+        [("2024-02-29 23:59:59",), ("1994-11-06 08:49:37",)], "s string"
+    ).select(F.col("s").cast("timestamp").alias("ts"))
+    got = d.select(
+        "ts",
+        format_rfc1123(F.col("ts")).alias("wire"),
+        parse_rfc1123(format_rfc1123(F.col("ts"))).alias("back"),
+    ).toPandas()
+    assert (got["ts"] == got["back"]).all()
+    assert got["wire"].str.match(r"^[A-Z][a-z]{2}, \d{2} [A-Z][a-z]{2} \d{4} \d{2}:\d{2}:\d{2} GMT$").all()
+
+
+def test_parse_rfc1123_reference_example(spark):
+    from pyspark.sql import functions as F
+
+    from moogle_spark.urlops import parse_rfc1123
+
+    d = spark.createDataFrame([("Sun, 06 Nov 1994 08:49:37 GMT",)], "s string")
+    got = d.select(parse_rfc1123(F.col("s")).alias("ts")).collect()[0]["ts"]
+    assert str(got) == "1994-11-06 08:49:37"
