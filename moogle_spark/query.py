@@ -44,15 +44,29 @@ from pyspark.sql.window import Window
 from . import codec
 from .analyzer import tokenize_query
 from .scoring import bm25_idf, bm25_tfpart
-from .tables import Warehouse
+from .tables import FORMAT_VERSION, Warehouse
 
 RESULT_SCHEMA = "shard int, doc_id long, score double, match_count int"
+
+# oldest postings layout this engine can score (v2 added the inline
+# per-block dls column the scorers rely on)
+MIN_POSTINGS_VERSION = 2
 
 
 class SearchEngine:
     def __init__(self, spark: SparkSession, warehouse: str | Warehouse, cache: bool = True):
         self.spark = spark
         self.wh = warehouse if isinstance(warehouse, Warehouse) else Warehouse(warehouse)
+        if not self.wh.is_committed("postings"):
+            raise FileNotFoundError(f"table postings not committed in {self.wh.root}")
+        pman = self.wh.manifest("postings")
+        ver = pman.get("format_version", 0)
+        if not (MIN_POSTINGS_VERSION <= ver <= FORMAT_VERSION):
+            raise ValueError(
+                f"warehouse postings format_version={ver} is outside the "
+                f"supported range [{MIN_POSTINGS_VERSION}, {FORMAT_VERSION}]; "
+                "rebuild the index with build_index(..., force=True)"
+            )
         cs = self.wh.read(spark, "corpus_stats").collect()[0]
         self.n_docs = int(cs["n_docs"])
         self.sum_dl = int(cs["sum_dl"])
@@ -80,10 +94,26 @@ class SearchEngine:
         return {r["term"]: int(r["df"]) for r in rows}
 
     def search(
-        self, query: str, k: int = 20, mode: str = "bmw", enrich: bool = False
+        self,
+        query: str,
+        k: int = 20,
+        mode: str = "bmw",
+        enrich: bool = False,
+        fuzzy: bool = False,
     ) -> DataFrame:
-        """Top-k BM25. Returns (rank, doc_id, score, match_count [+meta])."""
+        """Top-k BM25. Returns (rank, doc_id, score, match_count [+meta]).
+
+        ``fuzzy=True`` mirrors the reference's FuzzySearch middleware
+        running on every /api/search (routes/api.php:12): each query word
+        is replaced by its best in-edit-cap dictionary suggestion before
+        retrieval (exact hits rank first, so correctly-spelled words are
+        untouched).  The engine's dictionary is term_stats (every indexed
+        term), already cached at init."""
         terms = sorted(set(tokenize_query(query)))
+        if fuzzy and terms:
+            from .fuzzy import rewrite_query
+
+            terms = sorted(set(rewrite_query(self.term_stats, terms)))
         dfs = self.term_dfs(terms)
         present = sorted(t for t in terms if dfs.get(t, 0) > 0)
         if not present:
@@ -186,11 +216,14 @@ def _score_exhaustive(pdf, terms_sorted, idf, avgdl, lo, span, k):
         if g is None:
             continue
         w = idf[t]
-        for _, row in g.sort_values("block_id").iterrows():
-            n = int(row["n_docs"])
-            ids = codec.decode_doc_ids(row["doc_ids"], n)
-            tfs = codec.decode_tfs(row["tfs"], n)
-            dls = codec.varint_decode(row["dls"], n)
+        gs = g.sort_values("block_id")
+        for n, ids_b, tfs_b, dls_b in zip(
+            gs["n_docs"], gs["doc_ids"], gs["tfs"], gs["dls"]
+        ):
+            n = int(n)
+            ids = codec.decode_doc_ids(ids_b, n)
+            tfs = codec.decode_tfs(tfs_b, n)
+            dls = codec.varint_decode(dls_b, n)
             loc = ids - lo
             scores[loc] += w * bm25_tfpart(tfs, dls, avgdl)
             matches[loc] += 1
@@ -210,41 +243,70 @@ def _score_bmw(pdf, terms_sorted, idf, avgdl, lo, span, k):
     blocks: list[tuple] = []  # (term_rank, lo, hi, ub, ids_bin, tfs_bin, dls_bin, n)
     for rank_t, t in enumerate(terms_sorted):
         g = pdf[pdf["term"] == t]
-        for _, row in g.iterrows():
-            ub = idf[t] * float(row["block_max_tf"])
+        w = idf[t]
+        for fd, ld, bmax, ids_b, tfs_b, dls_b, n in zip(
+            g["first_doc"], g["last_doc"], g["block_max_tf"],
+            g["doc_ids"], g["tfs"], g["dls"], g["n_docs"],
+        ):
             blocks.append(
-                (rank_t, int(row["first_doc"]), int(row["last_doc"]), ub,
-                 row["doc_ids"], row["tfs"], row["dls"], int(row["n_docs"]))
+                (rank_t, int(fd), int(ld), w * float(bmax),
+                 ids_b, tfs_b, dls_b, int(n))
             )
     if not blocks:
         return np.zeros(0, dtype=np.int64), np.zeros(0), np.zeros(0, dtype=np.int64)
     bounds = sorted({b[1] for b in blocks} | {b[2] + 1 for b in blocks})
     edges = np.asarray(bounds, dtype=np.int64)
-    seg_ub = np.zeros(len(edges) - 1, dtype=np.float64)
-    for b in blocks:
-        i0 = np.searchsorted(edges, b[1])
-        i1 = np.searchsorted(edges, b[2] + 1)
-        seg_ub[i0:i1] += b[3]
+    n_segs = len(edges) - 1
+    seg_ub = np.zeros(n_segs, dtype=np.float64)
+    # interval index: segment boundaries include every block boundary, so
+    # a block overlaps a contiguous run of segments [i0, i1).  Materialize
+    # the (segment -> overlapping blocks) lists once — the per-segment
+    # scoring loop then touches ONLY overlapping blocks instead of
+    # scanning all of them (the old O(segments x blocks) inner loop).
+    b_lo = np.asarray([b[1] for b in blocks], dtype=np.int64)
+    b_hi = np.asarray([b[2] for b in blocks], dtype=np.int64)
+    i0s = np.searchsorted(edges, b_lo)
+    i1s = np.searchsorted(edges, b_hi + 1)
+    for bi in range(len(blocks)):
+        seg_ub[i0s[bi]:i1s[bi]] += blocks[bi][3]
+    counts = i1s - i0s
+    blk_rep = np.repeat(np.arange(len(blocks)), counts)
+    off = np.zeros(len(blocks) + 1, dtype=np.int64)
+    np.cumsum(counts, out=off[1:])
+    seg_of = (np.arange(int(off[-1])) - np.repeat(off[:-1], counts)) + np.repeat(
+        i0s, counts
+    )
+    order_inc = np.argsort(seg_of, kind="stable")  # stable keeps term order
+    blk_by_seg = blk_rep[order_inc]
+    seg_sorted = seg_of[order_inc]
+    seg_starts = np.searchsorted(seg_sorted, np.arange(n_segs))
+    seg_ends = np.searchsorted(seg_sorted, np.arange(n_segs) + 1)
     seg_order = np.argsort(-seg_ub, kind="stable")
+
+    import heapq
 
     decoded: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
     out_docs: list[np.ndarray] = []
     out_scores: list[np.ndarray] = []
     out_matches: list[np.ndarray] = []
+    # running top-k threshold via a size-k min-heap of the best scores:
+    # O(hits log k) maintenance per segment (the previous concatenate-all
+    # + partition recompute was O(total found) per segment — quadratic
+    # when bounds are uniform and nothing prunes)
+    heap: list[float] = []
     theta = -np.inf
-    n_found = 0
     for si in seg_order:
         if seg_ub[si] <= 0:
             break
-        if n_found >= k and seg_ub[si] < theta:
+        if len(heap) == k and seg_ub[si] < theta:
             break
         seg_lo, seg_hi = int(edges[si]), int(edges[si + 1]) - 1
         seg_len = seg_hi - seg_lo + 1
         sc = np.zeros(seg_len, dtype=np.float64)
         mc = np.zeros(seg_len, dtype=np.int64)
-        for bi, b in enumerate(blocks):  # blocks iterate in term order
-            if b[1] > seg_hi or b[2] < seg_lo:
-                continue
+        for bi in blk_by_seg[seg_starts[si]:seg_ends[si]]:  # term order
+            bi = int(bi)
+            b = blocks[bi]
             if bi not in decoded:
                 decoded[bi] = (
                     codec.decode_doc_ids(b[4], b[7]),
@@ -262,12 +324,16 @@ def _score_bmw(pdf, terms_sorted, idf, avgdl, lo, span, k):
         if hit.size == 0:
             continue
         out_docs.append((hit + seg_lo).astype(np.int64))
-        out_scores.append(sc[hit])
+        seg_scores = sc[hit]
+        out_scores.append(seg_scores)
         out_matches.append(mc[hit])
-        n_found += hit.size
-        if n_found >= k:
-            allsc = np.concatenate(out_scores)
-            theta = np.partition(allsc, allsc.size - k)[allsc.size - k] if allsc.size >= k else -np.inf
+        for s in seg_scores:
+            if len(heap) < k:
+                heapq.heappush(heap, float(s))
+            elif s > heap[0]:
+                heapq.heapreplace(heap, float(s))
+        if len(heap) == k:
+            theta = heap[0]
     if not out_docs:
         return np.zeros(0, dtype=np.int64), np.zeros(0), np.zeros(0, dtype=np.int64)
     docs = np.concatenate(out_docs)

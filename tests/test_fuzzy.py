@@ -49,3 +49,20 @@ def test_dictionary_from_docs(spark):
     )
     d = dictionary_from_docs(doc_terms(docs))
     assert set(r["term"] for r in d.collect()) == {"alpha", "beta", "gamma"}
+
+
+def test_engine_fuzzy_search_rewrites(spark, built_warehouse):
+    """routes/api.php:12 — FuzzySearch runs on every /api/search: a
+    misspelled query must return the corrected query's results."""
+    from moogle_spark.query import SearchEngine
+
+    eng = SearchEngine(spark, built_warehouse, cache=False)
+    good = eng.search("hotterm0", k=10).toPandas()
+    fixed = eng.search("hotterm0x", k=10, fuzzy=True).toPandas()  # edit dist 1
+    assert list(fixed["doc_id"]) == list(good["doc_id"])
+    assert list(fixed["score"]) == list(good["score"])
+    # without fuzzy the misspelling matches nothing
+    assert eng.search("hotterm0x", k=10).count() == 0
+    # correctly-spelled words pass through the rewrite untouched
+    same = eng.search("hotterm0", k=10, fuzzy=True).toPandas()
+    assert list(same["doc_id"]) == list(good["doc_id"])
