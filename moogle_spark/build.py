@@ -22,13 +22,15 @@ Pipeline (SURVEY.md §3.2 rebuild; north_star stage list):
   stage 4 `corpus_stats` — (n_docs, sum_dl, n_terms); avgdl = sum_dl/n_docs
                          derived as float64 at use sites (exact int inputs
                          -> deterministic across cluster sizes).
-  stage 5 `postings`   — explode -> shuffle by (shard, term_bucket) ->
-                         sort-merge -> applyInPandas block encoder:
-                         delta+varint doc_ids/tfs/positions, 128-doc blocks,
-                         per-block max tf-part (block-max metadata).
-                         Document-sharding bounds any hot term's per-group
-                         postings to the shard size — skew is structurally
-                         defused in addition to AQE.
+  stage 5 `postings`   — ZERO-SHUFFLE block encode: the shard-partitioned
+                         analyzed parquet is scanned with a tuned split
+                         size and each scan partition's docs are encoded
+                         in place (vectorized mapInPandas) into
+                         delta+varint doc_ids/tfs/positions 128-doc
+                         blocks with per-block max tf-part (block-max
+                         metadata).  Document-sharding bounds any hot
+                         term's per-group postings to the shard size —
+                         skew is structurally defused.
   stage 6 `doc_lens`   — per-shard dense doc_len arrays (varint); an
                          auxiliary artifact (scoring reads the inline
                          per-block dls copy instead — POSTINGS_SCHEMA).
@@ -77,11 +79,9 @@ BLOCK_SIZE = 128
 MAX_INDEX_WORDS = 1000  # reference MAX_INDEX_WORDS, services/indexer/utils/constants.py:23
 NSALT = 16
 # Constant encode-group target, independent of the session's parallelism:
-# the postings stage splits shards into term-hash buckets until the group
-# count reaches this, then range-partitions one group per partition.
-# Groups are equal-sized by construction (equal-size shards x uniform term
-# hash), so no straggler partition — the fix for hash-assignment skew when
-# ~n_shards groups landed on ~cores partitions.
+# the postings scan's split size is tuned so ~this many equal-byte scan
+# partitions encode concurrently — identical plan and work at N and 4N
+# cores, no hash-assignment skew.
 TARGET_ENCODE_GROUPS = 128
 
 
@@ -186,7 +186,7 @@ def build_index(
     # oversubscribing Python workers (4 concurrent pandas-UDF jobs x 32
     # workers each thrashes at scale).
     branches = [
-        lambda: stage("postings", lambda: _stage_postings(spark, analyzed, wh)),
+        lambda: stage("postings", lambda: _stage_postings(spark, wh)),
         lambda: stage("doc_stats", lambda: _stage_doc_stats(spark, analyzed, wh)),
         _term_then_corpus,
         lambda: stage("doc_lens", lambda: _stage_doc_lens(spark, analyzed, wh, shard_size)),
@@ -414,7 +414,7 @@ def _stage_corpus_stats(spark: SparkSession, wh: Warehouse, n_docs: int) -> None
     )
 
 
-def _stage_postings(spark: SparkSession, analyzed: DataFrame, wh: Warehouse) -> None:
+def _stage_postings(spark: SparkSession, wh: Warehouse) -> None:
     man = wh.manifest("analyzed")
     n_docs = man["n_docs"]
     avgdl = float(man["sum_dl"]) / float(n_docs) if n_docs else 1.0
@@ -559,21 +559,19 @@ def _stage_postings(spark: SparkSession, analyzed: DataFrame, wh: Warehouse) -> 
             columns=cols,
         )
 
-    # Parallelism: a group per shard is right at cluster scale (shards >>
-    # cores), but in small corpora the shard count can undershoot a useful
-    # group count.  Split each shard into CONTIGUOUS doc-id sub-ranges
-    # until the group count reaches TARGET_ENCODE_GROUPS — a CONSTANT, so
-    # the plan is identical at every parallelism level — then
-    # range-partition ONE group per partition.  Groups are equal-sized
-    # (equal doc ranges), so every encode partition carries the same work:
-    # no hash-assignment skew, no straggler tail (the previous groupBy
-    # hashed ~n_shards groups onto ~cores partitions, leaving some
-    # partitions with 2-3x the groups of others).  Sub-ranges add at most
-    # n_buckets-1 extra blocks per (term, shard) — only in small corpora;
-    # at scale n_buckets == 1 and blocks are exactly per (term, shard).
+    # ZERO-SHUFFLE encode: the analyzed table is already written
+    # partitioned by shard, and doc_ids are contiguous within each file,
+    # so the encoder consumes the parquet SCAN partitioning directly —
+    # each scan partition groups its rows by shard and emits that
+    # sub-range's blocks.  A (term, shard) whose docs span several scan
+    # partitions simply yields several block RUNS (each internally
+    # doc-sorted) — scoring semantics are unchanged (every posting is in
+    # exactly one block; per-doc accumulation is one contribution per
+    # term regardless of run structure), and WAND treats runs as ordinary
+    # blocks.  maxPartitionBytes is tuned for this one scan so the group
+    # count lands near TARGET_ENCODE_GROUPS at every parallelism level
+    # (constant — the plan does identical work at N and 4N cores).
     n_shards_actual = int(man["n_shards"])
-    shard_size = int(man["shard_size"])
-    n_buckets = max(1, math.ceil(TARGET_ENCODE_GROUPS / max(1, n_shards_actual)))
     sc = spark.sparkContext
     lin_acc = sc.accumulator({}, _LineageAccParam())
 
@@ -609,38 +607,47 @@ def _stage_postings(spark: SparkSession, analyzed: DataFrame, wh: Warehouse) -> 
                    "posting_bytes": n_bytes, "sha256_rollup": ""}}
         )
 
-    base = analyzed.select("shard", "doc_id", "doc_len", "terms", "tfs", "positions")
-    if n_buckets > 1:
-        # sub-shard = which n_buckets-th of the shard's doc range the doc
-        # falls in; pure column arithmetic, no row duplication.
-        tb = (
-            F.pmod(F.col("doc_id") - 1, F.lit(shard_size)) * n_buckets / F.lit(shard_size)
-        ).cast("int")
-        base = base.withColumn("tb", tb)
-        grouped = base.repartitionByRange(n_shards_actual * n_buckets, "shard", "tb")
-    else:
-        grouped = base.repartitionByRange(n_shards_actual, "shard")
-    postings = grouped.mapInPandas(encode_partition, POSTINGS_SCHEMA)
+    total_bytes = 0
+    for dirpath, _dn, filenames in os.walk(wh.path("analyzed")):
+        for fn in filenames:
+            if fn.endswith(".parquet"):
+                total_bytes += os.path.getsize(os.path.join(dirpath, fn))
+    target = max(1 << 20, total_bytes // TARGET_ENCODE_GROUPS)
+    conf = spark.conf
+    old_mpb = conf.get("spark.sql.files.maxPartitionBytes")
+    old_open = conf.get("spark.sql.files.openCostInBytes", "4194304")
     import time as _time
 
     t = _time.time()
-    wh.write(
-        postings,
-        "postings",
-        stage="postings",
-        partition_by=["shard"],
-        sort_by=["term", "block_id"],
-        meta={"avgdl": avgdl, "n_docs": n_docs, "block_size": BLOCK_SIZE},
-        # pure-Python encode seconds summed over tasks: recorded in the
-        # manifest as scaling evidence (identical input => any growth with
-        # parallelism measures the host's memory-bandwidth contention,
-        # not job work)
-        meta_fn=lambda: {
-            "encode_python_sec": round(
-                sum(r["doc_count"] for r in py_acc.value.values()) / 1000.0, 1
-            )
-        },
-    )
+    try:
+        conf.set("spark.sql.files.maxPartitionBytes", str(target))
+        # small per-file packing penalty so many tiny shard files still
+        # spread across ~TARGET_ENCODE_GROUPS partitions
+        conf.set("spark.sql.files.openCostInBytes", str(max(65536, target // 8)))
+        base = wh.read(spark, "analyzed").select(
+            "shard", "doc_id", "doc_len", "terms", "tfs", "positions"
+        )
+        postings = base.mapInPandas(encode_partition, POSTINGS_SCHEMA)
+        wh.write(
+            postings,
+            "postings",
+            stage="postings",
+            partition_by=["shard"],
+            sort_by=["term", "block_id"],
+            meta={"avgdl": avgdl, "n_docs": n_docs, "block_size": BLOCK_SIZE},
+            # pure-Python encode seconds summed over tasks: recorded in
+            # the manifest as scaling evidence (identical input => any
+            # growth with parallelism measures the host's memory-bandwidth
+            # contention, not job work)
+            meta_fn=lambda: {
+                "encode_python_sec": round(
+                    sum(r["doc_count"] for r in py_acc.value.values()) / 1000.0, 1
+                )
+            },
+        )
+    finally:
+        conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
+        conf.set("spark.sql.files.openCostInBytes", old_open)
     t = _tick("postings.write", t)
     if os.environ.get("MOOGLE_STAGE_TIMING"):
         tot = sum(r["doc_count"] for r in py_acc.value.values()) / 1000.0
