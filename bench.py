@@ -47,7 +47,16 @@ def main() -> None:
 
     # -- corpus materialization (untimed; docs arrive as a table in real
     # use) + engine warmup (JVM codegen + Python UDF worker spawn) -------
-    corpus_path = f"/tmp/moogle_bench_corpus_{n_docs}.parquet"
+    # Cache path is keyed on the generator code's hash so a generator
+    # change can never silently reuse a stale corpus (timings would be
+    # incomparable across code versions).
+    import hashlib
+    import inspect
+
+    import moogle_spark.corpus as corpusmod
+
+    gen_tag = hashlib.sha256(inspect.getsource(corpusmod).encode()).hexdigest()[:12]
+    corpus_path = f"/tmp/moogle_bench_corpus_{n_docs}_{gen_tag}.parquet"
     if not os.path.exists(corpus_path):
         generate_docs(spark, n_docs).write.mode("overwrite").parquet(corpus_path)
     docs = spark.read.parquet(corpus_path)
