@@ -471,6 +471,47 @@ def _q_multimodal(spark, sf_dir):
     )
 
 
+def _q_image_filter(spark, sf_dir):
+    from moogle_spark.multimodal import filter_valid_images, synth_media
+
+    media = synth_media(_docs(spark, sf_dir))
+    return filter_valid_images(media).select("asset_id", "width", "height")
+
+
+def _q_streaming_hourly(spark, sf_dir):
+    """§2.9 — a REAL Structured Streaming query (readStream -> watermarked
+    event-time windowed counts -> availableNow -> memory sink), whose
+    settled output equals the batch SQL aggregation (complete output mode
+    retains all windows, so the oracle can check it exactly)."""
+    import uuid
+
+    from moogle_spark.streaming import run_to_memory_sink, streaming_search_counts
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the file stream source needs a DIRECTORY; events.parquet may be a
+    # single file — expose it through a symlink dir
+    src = os.path.realpath(f"{sf_dir}/events.parquet")
+    if os.path.isdir(src):
+        stream_dir = src
+    else:
+        tag = os.path.basename(os.path.normpath(sf_dir))
+        stream_dir = f"/tmp/moogle_stream_events_{tag}"
+        os.makedirs(stream_dir, exist_ok=True)
+        link = os.path.join(stream_dir, "events.parquet")
+        if not os.path.exists(link):
+            os.symlink(src, link)
+    stream = spark.readStream.schema(schema).parquet(stream_dir)
+    # driver parquet stores ts as TIMESTAMP_NTZ; watermarks need LTZ
+    # (session tz is UTC, so the cast is value-preserving)
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = streaming_search_counts(
+        stream, window="1 hour", ts_col="ts", query_col="event_type"
+    )
+    name = f"stream_hourly_{uuid.uuid4().hex[:8]}"
+    run_to_memory_sink(agg, name, timeout_s=180)
+    return spark.table(name).orderBy("window_start", "query")
+
+
 def _q_engine_bm25(spark, sf_dir):
     return _engine_search(spark, sf_dir)
 
@@ -495,6 +536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_suggestions": _q_suggestions,
         "daily_counts": _q_daily,
         "hourly_windows": _q_hourly,
+        "streaming_hourly": _q_streaming_hourly,
         # link graph (§2.4 J4/J7/J8)
         "page_connections": _q_page_connections,
         "pagerank": _q_pagerank,
@@ -535,7 +577,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": _q_quality,
         "token_counts": _q_token_counts,
         "fingerprints": _q_fingerprints,
-        # non-SQL-expressible (rows-only checks)
+        # multimodal (F13 validity filter; byte-histogram fake decode)
+        "image_filter": _q_image_filter,
         "multimodal_features": _q_multimodal,
         "engine_bm25": _q_engine_bm25,
     }
@@ -712,6 +755,9 @@ def oracle_sql() -> dict[str, str]:
         "daily_counts": "SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, "
         "count(*) AS searches FROM events GROUP BY 1 ORDER BY day",
         "hourly_windows": "SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, "
+        "event_type AS query, count(*) AS searches FROM events GROUP BY 1, 2 "
+        "ORDER BY window_start, query",
+        "streaming_hourly": "SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, "
         "event_type AS query, count(*) AS searches FROM events GROUP BY 1, 2 "
         "ORDER BY window_start, query",
         "page_connections": f"WITH {_EDGES} "
@@ -911,6 +957,9 @@ def oracle_sql() -> dict[str, str]:
         "strptime(strftime(ts, '%a, %d %b %Y %H:%M:%S GMT'), "
         "'%a, %d %b %Y %H:%M:%S GMT') AS parsed_ts "
         "FROM events WHERE event_id % 50 = 0",
+        "image_filter": "SELECT doc_id AS asset_id, "
+        "((doc_id % 640) + 64)::INT AS width, ((doc_id % 480) + 48)::INT AS height "
+        "FROM documents WHERE (doc_id % 640) + 64 >= 100 AND (doc_id % 480) + 48 >= 100",
         "multimodal_features": "WITH ch AS (SELECT doc_id, "
         "unnest(regexp_extract_all(text, '(?s).')) AS c FROM documents), "
         "h AS (SELECT doc_id, count(*) AS n, count(*) FILTER (ord(c) < 16) AS b0 "

