@@ -101,6 +101,34 @@ def _q_search_bm25(spark, sf_dir):
     return bm25_search(_docs(spark, sf_dir), QUERY_TERMS, k=K)
 
 
+PHRASE = ("spark", "join")
+
+
+def _q_phrase_match(spark, sf_dir):
+    """Positional exact-phrase match over the token stream (the
+    SQL-expressible twin of SearchEngine.search_phrase; same positional
+    semantics incl. overlapping occurrences)."""
+    from moogle_spark.textops import tokens_col
+
+    t = tokens_col("text")
+    hits = F.when(
+        F.size(t) >= 2,
+        F.size(
+            F.filter(
+                F.sequence(F.lit(0), F.size(t) - 2),
+                lambda i: (F.element_at(t, i + 1) == PHRASE[0])
+                & (F.element_at(t, i + 2) == PHRASE[1]),
+            )
+        ),
+    ).otherwise(F.lit(0))
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", hits.alias("occurrences"))
+        .filter(F.col("occurrences") > 0)
+        .orderBy("doc_id")
+    )
+
+
 def _q_total_hits(spark, sf_dir):
     from moogle_spark.textops import total_hits
 
@@ -525,6 +553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_weight": _q_tfidf,
         "search_tfidf": _q_search_tfidf,
         "search_bm25": _q_search_bm25,
+        "phrase_match": _q_phrase_match,
         "total_hits": _q_total_hits,
         "vocab_stats": _q_vocab,
         "top_terms": _q_top_terms,
@@ -718,6 +747,11 @@ def oracle_sql() -> dict[str, str]:
         f"WHERE tf.term IN {_QT_IN}) "
         "SELECT doc_id, round(sum(contrib), 6) AS score, count(*)::INT AS match_count "
         f"FROM c GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT {K}",
+        "phrase_match": f"WITH {_TOKS}, "
+        "c AS (SELECT doc_id, len(list_filter(generate_series(1, len(t) - 1), "
+        "i -> t[i] = 'spark' AND t[i + 1] = 'join'))::INT AS occurrences "
+        "FROM toks WHERE len(t) >= 2) "
+        "SELECT doc_id, occurrences FROM c WHERE occurrences > 0 ORDER BY doc_id",
         "total_hits": f"WITH {_TOKS}, {_TERMS} "
         f"SELECT count(DISTINCT doc_id)::BIGINT AS total_hits FROM terms WHERE term IN {_QT_IN}",
         "vocab_stats": f"WITH {_TOKS}, t2 AS (SELECT doc_id, lang, unnest(t) AS term FROM toks) "

@@ -19,7 +19,7 @@ from dataclasses import dataclass, field
 import numpy as np
 import pandas as pd
 
-from .analyzer import term_freqs_positions, tokenize_query
+from .analyzer import term_freqs_positions, tokenize_doc, tokenize_query
 from .scoring import bm25_idf, bm25_tfpart
 
 
@@ -95,6 +95,60 @@ def oracle_search(idx: OracleIndex, query: str, k: int = 20) -> pd.DataFrame:
             "doc_id": (sel + 1).astype(np.int64),
             "score": scores[sel],
             "match_count": matches[sel],
+        }
+    )
+
+
+def oracle_phrase_search(idx: OracleIndex, phrase: str, k: int = 20) -> pd.DataFrame:
+    """Exact phrase top-k using the positions arrays: a doc matches iff
+    the phrase's tokens appear at consecutive positions in the
+    post-filter token stream (doc-mode analysis on both sides, so
+    stopword removal affects the phrase and the docs identically).
+    match_count = number of phrase occurrences; score = BM25 over the
+    phrase's distinct terms, accumulated in ascending term order (the
+    frozen float order, bit-identical to the engine)."""
+    terms = tokenize_doc(phrase)
+    cols = ["rank", "doc_id", "score", "match_count"]
+    if not terms:
+        return pd.DataFrame(columns=cols)
+    uniq = sorted(set(terms))
+    if any(t not in idx.postings for t in uniq):
+        return pd.DataFrame(columns=cols)
+    posmap = {
+        t: dict(zip(idx.postings[t][0], idx.positions[t])) for t in uniq
+    }
+    cands = set(posmap[uniq[0]])
+    for t in uniq[1:]:
+        cands &= set(posmap[t])
+    avgdl = idx.avgdl
+    rows = []
+    for doc in sorted(cands):
+        occ = posmap[terms[0]][doc]
+        for t in terms[1:]:
+            occ = np.intersect1d(occ + 1, posmap[t][doc])
+            if occ.size == 0:
+                break
+        if occ.size == 0:
+            continue
+        score = 0.0
+        dl = idx.doc_len[doc - 1]
+        for t in uniq:  # ascending term order — frozen accumulation
+            tf = posmap[t][doc].size
+            score += float(
+                bm25_idf(idx.n_docs, idx.df[t])
+                * bm25_tfpart(np.asarray([tf]), np.asarray([dl]), avgdl)[0]
+            )
+        rows.append((doc, score, int(occ.size)))
+    if not rows:
+        return pd.DataFrame(columns=cols)
+    rows.sort(key=lambda r: (-r[1], r[0]))
+    rows = rows[:k]
+    return pd.DataFrame(
+        {
+            "rank": np.arange(1, len(rows) + 1, dtype=np.int64),
+            "doc_id": [r[0] for r in rows],
+            "score": [r[1] for r in rows],
+            "match_count": [r[2] for r in rows],
         }
     )
 

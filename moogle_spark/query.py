@@ -134,6 +134,37 @@ class SearchEngine:
         )
         return self.enrich(out) if enrich else out
 
+    def search_phrase(self, query: str, k: int = 20, enrich: bool = False) -> DataFrame:
+        """Exact-phrase top-k using the per-posting POSITIONS arrays
+        (stored delta-encoded in every block — SURVEY.md §7.3): a doc
+        matches iff the phrase's doc-mode tokens occur at consecutive
+        positions in its post-filter token stream.  match_count = number
+        of occurrences; score = BM25 over the phrase's distinct terms.
+        Same zero-exchange per-shard plan as search(); verified
+        rank/score-identical against oracle_phrase_search in tests."""
+        from .analyzer import tokenize_doc
+
+        terms = tokenize_doc(query)
+        if not terms:
+            return self._empty(enrich)
+        uniq = sorted(set(terms))
+        dfs = self.term_dfs(uniq)
+        if any(dfs.get(t, 0) == 0 for t in uniq):
+            return self._empty(enrich)
+        idf = {t: float(bm25_idf(self.n_docs, dfs[t])) for t in uniq}
+        cand = self.postings.filter(F.col("term").isin(uniq))
+        fn = _make_phrase_scorer(terms, idf, self.avgdl, k)
+        if self._sharded:
+            scored = cand.mapInPandas(_partition_scorer(fn), RESULT_SCHEMA)
+        else:
+            scored = cand.groupBy("shard").applyInPandas(fn, RESULT_SCHEMA)
+        top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        out = top.withColumn("rank", F.row_number().over(w)).select(
+            "rank", "doc_id", "score", "match_count"
+        )
+        return self.enrich(out) if enrich else out
+
     def enrich(self, topk: DataFrame) -> DataFrame:
         """J2: left-join doc metadata onto the (tiny) top-k —
         QuerySearchController.php:307-336 semantics."""
@@ -195,6 +226,73 @@ def _make_scorer(idf: dict[str, float], avgdl: float, k: int, mode: str):
                 "doc_id": docs,
                 "score": scores,
                 "match_count": matches.astype(np.int32),
+            }
+        )
+
+    return score_shard
+
+
+def _make_phrase_scorer(terms_ordered: list[str], idf: dict[str, float], avgdl: float, k: int):
+    """Per-shard exact-phrase scorer: decode candidate blocks WITH their
+    position streams, intersect shifted position sets along the phrase,
+    BM25-score matching docs over the distinct terms in ascending term
+    order (the frozen float order, matching oracle_phrase_search)."""
+    uniq_sorted = sorted(set(terms_ordered))
+
+    def score_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["shard", "doc_id", "score", "match_count"]
+        if len(pdf) == 0:
+            return pd.DataFrame(columns=cols)
+        shard = int(pdf["shard"].iloc[0])
+        pos: dict[str, dict[int, np.ndarray]] = {t: {} for t in uniq_sorted}
+        dls: dict[int, int] = {}
+        for t, g in pdf.groupby("term", sort=False):
+            store = pos[t]
+            for n, ids_b, tfs_b, dls_b, pos_b, pints in zip(
+                g["n_docs"], g["doc_ids"], g["tfs"], g["dls"], g["positions"], g["pos_ints"]
+            ):
+                n = int(n)
+                ids = codec.decode_doc_ids(ids_b, n)
+                dl = codec.varint_decode(dls_b, n)
+                plist = codec.decode_positions(pos_b, n, int(pints))
+                for j in range(n):
+                    d = int(ids[j])
+                    store[d] = plist[j]
+                    dls[d] = int(dl[j])
+        cands = set(pos[uniq_sorted[0]])
+        for t in uniq_sorted[1:]:
+            cands &= set(pos[t])
+        out_docs, out_scores, out_matches = [], [], []
+        for doc in sorted(cands):
+            occ = pos[terms_ordered[0]][doc]
+            for t in terms_ordered[1:]:
+                occ = np.intersect1d(occ + 1, pos[t][doc])
+                if occ.size == 0:
+                    break
+            if occ.size == 0:
+                continue
+            score = 0.0
+            dl = dls[doc]
+            for t in uniq_sorted:  # frozen accumulation order
+                tf = pos[t][doc].size
+                score += float(
+                    idf[t] * bm25_tfpart(np.asarray([tf]), np.asarray([dl]), avgdl)[0]
+                )
+            out_docs.append(doc)
+            out_scores.append(score)
+            out_matches.append(int(occ.size))
+        if not out_docs:
+            return pd.DataFrame(columns=cols)
+        docs_a = np.asarray(out_docs, dtype=np.int64)
+        scores_a = np.asarray(out_scores, dtype=np.float64)
+        matches_a = np.asarray(out_matches, dtype=np.int64)
+        order = np.lexsort((docs_a, -scores_a))[:k]
+        return pd.DataFrame(
+            {
+                "shard": np.full(len(order), shard, dtype=np.int32),
+                "doc_id": docs_a[order],
+                "score": scores_a[order],
+                "match_count": matches_a[order].astype(np.int32),
             }
         )
 

@@ -63,3 +63,32 @@ def test_absent_and_stopword_queries_empty(engine, oracle_index):
     for q in ["zzqqxxnosuchterm", "the and of"]:
         assert engine.search(q, k=10).count() == 0
         assert len(oracle_search(oracle_index, q, k=10)) == 0
+
+
+def test_phrase_search_matches_oracle(spark, built_warehouse, oracle_index):
+    """Positions are functional: exact-phrase top-k is rank- and
+    score-identical between the engine (decoded position streams) and the
+    single-node oracle."""
+    from moogle_spark.analyzer import tokenize_doc
+    from moogle_spark.corpus import generate_docs_local
+    from moogle_spark.oracle import oracle_phrase_search
+    from moogle_spark.query import SearchEngine
+
+    docs = generate_docs_local(200)
+    toks0 = tokenize_doc(docs["content"].iloc[7])
+    toks1 = tokenize_doc(docs["content"].iloc[42])
+    phrases = [
+        " ".join(toks0[3:5]),          # 2-token phrase known to exist
+        " ".join(toks1[10:13]),        # 3-token phrase known to exist
+        "hotterm0 hotterm0",           # self-adjacent (generator emits h(h))
+        "zzqq nosuchphrase",           # absent
+    ]
+    eng = SearchEngine(spark, built_warehouse)
+    for ph in phrases:
+        got = eng.search_phrase(ph, k=20).toPandas()
+        exp = oracle_phrase_search(oracle_index, ph, k=20)
+        assert list(got["doc_id"]) == list(exp["doc_id"]), ph
+        assert [repr(s) for s in got["score"]] == [repr(s) for s in exp["score"]], ph
+        assert list(got["match_count"]) == list(exp["match_count"]), ph
+    # sanity: at least one of the existing phrases matched something
+    assert oracle_phrase_search(oracle_index, phrases[0], k=20).shape[0] > 0
