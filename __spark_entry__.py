@@ -400,6 +400,19 @@ def _q_fingerprints(spark, sf_dir):
     return fingerprints(_docs(spark, sf_dir), n=3)
 
 
+def _q_curation(spark, sf_dir):
+    """End-to-end curation pipeline on documents + 20 planted exact
+    duplicates (doc_id+10000, same text): the quality gate prunes, the
+    dedup keeps the original of every planted copy."""
+    from moogle_spark.textstats import curate_corpus
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    planted = d.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    return curate_corpus(d.unionByName(planted), min_quality=0.45)
+
+
 def _cust_urls(spark, sf_dir):
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
     return cust.select(
@@ -606,6 +619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": _q_quality,
         "token_counts": _q_token_counts,
         "fingerprints": _q_fingerprints,
+        "curation": _q_curation,
         # multimodal (F13 validity filter; byte-histogram fake decode)
         "image_filter": _q_image_filter,
         "multimodal_features": _q_multimodal,
@@ -1024,6 +1038,18 @@ def oracle_sql() -> dict[str, str]:
         "len(t)::BIGINT AS alnum_tokens, "
         "len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))::BIGINT AS bpe_pieces "
         "FROM toks",
+        "curation": "WITH d AS (SELECT doc_id, text FROM documents "
+        "UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id < 20), "
+        "toks AS (SELECT doc_id, text, "
+        "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '') AS t FROM d), "
+        f"q AS (SELECT doc_id, text, len(t)::BIGINT AS n_tokens, "
+        f"round(({_STOP_RATIO}) * 0.4 + least(len(t) / 100.0, 1.0) * 0.3 "
+        f"+ (1 - ({_SYMBOL_RATIO})) * 0.3, 6) AS quality_score FROM toks), "
+        "p AS (SELECT * FROM q WHERE quality_score >= 0.45 "
+        "AND n_tokens BETWEEN 10 AND 100000), "
+        "canon AS (SELECT min(doc_id) AS doc_id FROM p GROUP BY md5(text)) "
+        "SELECT p.doc_id, p.n_tokens, p.quality_score FROM p "
+        "JOIN canon ON canon.doc_id = p.doc_id ORDER BY p.doc_id",
         "fingerprints": f"WITH {_TOKS}, {_SH} "
         "SELECT doc_id, min(md5(shingle)) AS fingerprint, count(*)::BIGINT AS n_shingles "
         "FROM sh GROUP BY doc_id ORDER BY doc_id",

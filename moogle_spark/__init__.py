@@ -7,11 +7,13 @@ idiomatic Spark pipeline:
 - analyzer: code-aware tokenizer (vectorized Arrow/pandas UDF), mirroring
   the reference's lowercase + stopword + isalnum analyzer chain
   (services/indexer/utils/utils.py:129-133) extended for source code.
-- index build: docs -> per-partition sorted posting runs (mapInPandas)
-  -> document-sharded, delta+varint block-compressed posting lists with
-  per-block max-score metadata (applyInPandas).
+- index build: docs -> tokenized doc rows (mapInPandas) -> zero-shuffle
+  vectorized block encode into document-sharded, delta+varint
+  block-compressed posting lists (with positions) and per-block
+  max-score metadata.
 - query: Okapi BM25 (k1=1.2, b=0.75) top-k via block-max WAND over the
-  compressed postings; exhaustive numpy scorer as the verified fallback.
+  compressed postings; exhaustive numpy scorer as the verified fallback;
+  exact-phrase search over the stored position streams.
 - extras: PageRank (services/page-rank/cmd/page-rank/main.go:96-128
   semantics), fuzzy spell rewrite (FuzzySearch.php:122 rule), search
   analytics (StoreSearchTerm.php / RedisController.php semantics), and

@@ -119,3 +119,39 @@ def fingerprints(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFra
         )
         .orderBy("doc_id")
     )
+
+
+def curate_corpus(
+    docs: DataFrame,
+    min_quality: float = 0.45,
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    text_col: str = "text",
+) -> DataFrame:
+    """Composed training-data curation pipeline — the order every
+    large-scale pretraining pipeline runs: (1) quality gate (composite
+    score + token-count bounds), (2) exact dedup keeping the lowest
+    doc_id per distinct content.  Returns the kept docs with their
+    features.  Cost at scale: the quality gate is a pure column plan
+    (pushes into the scan); the only shuffle is the dedup groupBy on the
+    content hash — linear in survivors."""
+    q = quality_scores(docs, text_col)
+    passing = (
+        docs.select("doc_id", text_col)
+        .join(q, "doc_id")
+        .filter(
+            (F.col("quality_score") >= min_quality)
+            & (F.col("n_tokens") >= min_tokens)
+            & (F.col("n_tokens") <= max_tokens)
+        )
+    )
+    canon = (
+        passing.groupBy(F.md5(F.col(text_col)).alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return (
+        passing.join(canon, "doc_id", "semi")
+        .select("doc_id", "n_tokens", "quality_score")
+        .orderBy("doc_id")
+    )

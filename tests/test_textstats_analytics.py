@@ -90,3 +90,22 @@ def test_fingerprints(spark, docs):
     assert 4 not in got.index  # empty doc has no shingles
     assert got.loc[1, "n_shingles"] == 10  # 12 tokens -> 10 distinct 3-grams
     assert len(got.loc[1, "fingerprint"]) == 32
+
+
+def test_curate_corpus_pipeline(spark):
+    """Composed curation: junk (low-quality / too-short) docs are gated
+    out, exact duplicates collapse to the lowest doc_id."""
+    from moogle_spark.textstats import curate_corpus
+
+    good = "the code and the data are in the repository with all of the tests " * 3
+    rows = [
+        (1, good),
+        (2, good),                      # exact dup of 1 -> dropped
+        (3, "x"),                       # too short -> dropped
+        (4, ";;;; ???? !!!! &&&&"),     # symbols only -> dropped
+        (5, good + " extra words here to differ and this is still quite good"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = curate_corpus(d, min_quality=0.4, min_tokens=5).toPandas()
+    assert list(got["doc_id"]) == [1, 5]
+    assert (got["quality_score"] >= 0.4).all()
