@@ -539,7 +539,11 @@ def _q_streaming_hourly(spark, sf_dir):
         stream_dir = f"/tmp/moogle_stream_events_{tag}"
         os.makedirs(stream_dir, exist_ok=True)
         link = os.path.join(stream_dir, "events.parquet")
-        if not os.path.exists(link):
+        # lexists: a broken symlink still occupies the name; re-point
+        # whenever the target differs (two sf_dirs can share a basename)
+        if os.path.lexists(link) and os.path.realpath(link) != src:
+            os.remove(link)
+        if not os.path.lexists(link):
             os.symlink(src, link)
     stream = spark.readStream.schema(schema).parquet(stream_dir)
     # driver parquet stores ts as TIMESTAMP_NTZ; watermarks need LTZ

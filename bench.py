@@ -58,6 +58,13 @@ def main() -> None:
     gen_tag = hashlib.sha256(inspect.getsource(corpusmod).encode()).hexdigest()[:12]
     corpus_path = f"/tmp/moogle_bench_corpus_{n_docs}_{gen_tag}.parquet"
     if not os.path.exists(corpus_path):
+        # evict prior-generation corpora (any other tag) before writing a
+        # fresh one: repeated code iterations must not accumulate multi-GB
+        # stale caches in /tmp
+        import glob
+
+        for stale in glob.glob(f"/tmp/moogle_bench_corpus_{n_docs}_*.parquet"):
+            shutil.rmtree(stale, ignore_errors=True)
         generate_docs(spark, n_docs).write.mode("overwrite").parquet(corpus_path)
     docs = spark.read.parquet(corpus_path)
     warm_wh = "/tmp/moogle_bench_warmup_wh"

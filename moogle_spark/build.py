@@ -9,7 +9,7 @@ Pipeline (SURVEY.md §3.2 rebuild; north_star stage list):
                          mapInPandas (Arrow-batched; the analyzer is the
                          frozen pure function in analyzer.py). One row per
                          doc: (doc_id, meta, sha256, shard, doc_len,
-                         terms[], tfs[], positions[][]).
+                         terms[], tfs[], flat positions[]).
   stage 2 `doc_stats`  — metadata projection (reference `metadata`
                          collection, services/indexer/models/metadata.py:8-15),
                          incl. per-doc top-k terms map (MAX_INDEX_WORDS
@@ -191,27 +191,48 @@ def build_index(
         _term_then_corpus,
         lambda: stage("doc_lens", lambda: _stage_doc_lens(spark, analyzed, wh, shard_size)),
     ]
-    if parallel:
-        from concurrent.futures import ThreadPoolExecutor
+    # Tune the file-scan split size for the zero-shuffle postings encode
+    # BEFORE any branch launches and restore only after all finish: every
+    # branch plans against one consistent value (no mid-flight session-conf
+    # race).  Other branches' analyzed scans simply inherit the split —
+    # harmless (at sandbox sizes a few extra tasks; at real scale
+    # table_bytes/TARGET exceeds the 128 MB default anyway).
+    total_bytes = 0
+    for dirpath, _dn, filenames in os.walk(wh.path("analyzed")):
+        for fn in filenames:
+            if fn.endswith(".parquet"):
+                total_bytes += os.path.getsize(os.path.join(dirpath, fn))
+    target = max(4 << 20, total_bytes // TARGET_ENCODE_GROUPS)
+    conf = spark.conf
+    old_mpb = conf.get("spark.sql.files.maxPartitionBytes")
+    old_open = conf.get("spark.sql.files.openCostInBytes", "4194304")
+    conf.set("spark.sql.files.maxPartitionBytes", str(target))
+    conf.set("spark.sql.files.openCostInBytes", str(max(65536, target // 8)))
+    try:
+        if parallel:
+            from concurrent.futures import ThreadPoolExecutor
 
-        # Optionally cache the analyzed table (all branches scan it).
-        # Default OFF: parquet re-reads are cheap (columnar, pruned) and
-        # caching the widest table competes with shuffle/UDF memory at
-        # scale on local[32].
-        cache = os.environ.get("MOOGLE_CACHE_ANALYZED", "0") == "1"
-        if cache:
-            analyzed.persist()
-        try:
-            with ThreadPoolExecutor(max_workers=2) as ex:
-                futures = [ex.submit(b) for b in branches]
-                for f in futures:
-                    f.result()
-        finally:
+            # Optionally cache the analyzed table (all branches scan it).
+            # Default OFF: parquet re-reads are cheap (columnar, pruned)
+            # and caching the widest table competes with shuffle/UDF
+            # memory at scale on local[32].
+            cache = os.environ.get("MOOGLE_CACHE_ANALYZED", "0") == "1"
             if cache:
-                analyzed.unpersist()
-    else:
-        for b in branches:
-            b()
+                analyzed.persist()
+            try:
+                with ThreadPoolExecutor(max_workers=2) as ex:
+                    futures = [ex.submit(b) for b in branches]
+                    for f in futures:
+                        f.result()
+            finally:
+                if cache:
+                    analyzed.unpersist()
+        else:
+            for b in branches:
+                b()
+    finally:
+        conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
+        conf.set("spark.sql.files.openCostInBytes", old_open)
     order = ["analyzed", "doc_stats", "term_stats", "corpus_stats", "postings", "doc_lens"]
     run.sort(key=order.index)
     skip.sort(key=order.index)
@@ -568,10 +589,9 @@ def _stage_postings(spark: SparkSession, wh: Warehouse) -> None:
     # doc-sorted) — scoring semantics are unchanged (every posting is in
     # exactly one block; per-doc accumulation is one contribution per
     # term regardless of run structure), and WAND treats runs as ordinary
-    # blocks.  maxPartitionBytes is tuned for this one scan so the group
-    # count lands near TARGET_ENCODE_GROUPS at every parallelism level
-    # (constant — the plan does identical work at N and 4N cores).
-    n_shards_actual = int(man["n_shards"])
+    # blocks.  maxPartitionBytes is tuned (by build_index, around all
+    # branches) so the group count lands near TARGET_ENCODE_GROUPS at
+    # every parallelism level — constant: identical work at N and 4N.
     sc = spark.sparkContext
     lin_acc = sc.accumulator({}, _LineageAccParam())
 
@@ -587,8 +607,7 @@ def _stage_postings(spark: SparkSession, wh: Warehouse) -> None:
         n_bytes = 0
         if pdfs:
             part = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
-            gcols = ["shard", "tb"] if "tb" in part.columns else ["shard"]
-            for _, g in part.groupby(gcols, sort=True):
+            for _, g in part.groupby("shard", sort=True):
                 t0 = _t.perf_counter()
                 out = encode_shard(g.reset_index(drop=True))
                 t_py += _t.perf_counter() - t0
@@ -607,47 +626,32 @@ def _stage_postings(spark: SparkSession, wh: Warehouse) -> None:
                    "posting_bytes": n_bytes, "sha256_rollup": ""}}
         )
 
-    total_bytes = 0
-    for dirpath, _dn, filenames in os.walk(wh.path("analyzed")):
-        for fn in filenames:
-            if fn.endswith(".parquet"):
-                total_bytes += os.path.getsize(os.path.join(dirpath, fn))
-    target = max(1 << 20, total_bytes // TARGET_ENCODE_GROUPS)
-    conf = spark.conf
-    old_mpb = conf.get("spark.sql.files.maxPartitionBytes")
-    old_open = conf.get("spark.sql.files.openCostInBytes", "4194304")
+    # (the scan split size is tuned by build_index around ALL branches —
+    # one consistent session value, no mid-flight conf race)
     import time as _time
 
     t = _time.time()
-    try:
-        conf.set("spark.sql.files.maxPartitionBytes", str(target))
-        # small per-file packing penalty so many tiny shard files still
-        # spread across ~TARGET_ENCODE_GROUPS partitions
-        conf.set("spark.sql.files.openCostInBytes", str(max(65536, target // 8)))
-        base = wh.read(spark, "analyzed").select(
-            "shard", "doc_id", "doc_len", "terms", "tfs", "positions"
-        )
-        postings = base.mapInPandas(encode_partition, POSTINGS_SCHEMA)
-        wh.write(
-            postings,
-            "postings",
-            stage="postings",
-            partition_by=["shard"],
-            sort_by=["term", "block_id"],
-            meta={"avgdl": avgdl, "n_docs": n_docs, "block_size": BLOCK_SIZE},
-            # pure-Python encode seconds summed over tasks: recorded in
-            # the manifest as scaling evidence (identical input => any
-            # growth with parallelism measures the host's memory-bandwidth
-            # contention, not job work)
-            meta_fn=lambda: {
-                "encode_python_sec": round(
-                    sum(r["doc_count"] for r in py_acc.value.values()) / 1000.0, 1
-                )
-            },
-        )
-    finally:
-        conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
-        conf.set("spark.sql.files.openCostInBytes", old_open)
+    base = wh.read(spark, "analyzed").select(
+        "shard", "doc_id", "doc_len", "terms", "tfs", "positions"
+    )
+    postings = base.mapInPandas(encode_partition, POSTINGS_SCHEMA)
+    wh.write(
+        postings,
+        "postings",
+        stage="postings",
+        partition_by=["shard"],
+        sort_by=["term", "block_id"],
+        meta={"avgdl": avgdl, "n_docs": n_docs, "block_size": BLOCK_SIZE},
+        # pure-Python encode seconds summed over tasks: recorded in
+        # the manifest as scaling evidence (identical input => any
+        # growth with parallelism measures the host's memory-bandwidth
+        # contention, not job work)
+        meta_fn=lambda: {
+            "encode_python_sec": round(
+                sum(r["doc_count"] for r in py_acc.value.values()) / 1000.0, 1
+            )
+        },
+    )
     t = _tick("postings.write", t)
     if os.environ.get("MOOGLE_STAGE_TIMING"):
         tot = sum(r["doc_count"] for r in py_acc.value.values()) / 1000.0

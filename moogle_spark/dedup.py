@@ -185,10 +185,9 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = 16) -> DataFram
     ).select(
         "doc_id",
         "bit",
-        F.when(
-            (F.floor(F.col("h") / F.pow(F.lit(2), F.col("bit"))).cast("long") % 2) == 1,
-            F.col("tf"),
-        )
+        # pure integer bit test (shiftright + AND): exact at every width,
+        # unlike float division which corrupts bits for hashes >= 2^53
+        F.when(F.expr("shiftright(h, bit) & 1") == 1, F.col("tf"))
         .otherwise(-F.col("tf"))
         .alias("v"),
     )

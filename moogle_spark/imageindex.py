@@ -96,9 +96,12 @@ def search_images_enriched(
     (QuerySearchController.php:166-213): ranked asset ids are joined back
     to the image data (page url + filename, `:180-190`) and then to the
     host page's metadata (title/summary, `:193-213`, incl. the substr
-    snippet X9 at `:205-212`).  Both joins broadcast the k-row ranked
-    side, so enrichment costs two broadcast probes regardless of corpus
-    size."""
+    snippet X9 at `:205-212`).  The k-row ranked side is the BUILD side
+    of both hash joins (broadcast on the right of inner joins — a
+    broadcast-left outer join cannot build left, Spark would silently
+    fall back to corpus-sized sort-merge shuffles), so enrichment costs
+    two broadcast probes regardless of corpus size.  Inner ≡ left here:
+    every ranked asset_id exists in assets by construction (same docs)."""
     ranked = search_images(docs, query_terms, k, asset_col)
     assets = image_assets(docs, asset_col)
     pages = docs.select(
@@ -107,10 +110,9 @@ def search_images_enriched(
         F.col(asset_col).alias("page_url"),
         F.substring(F.col(text_col), 1, 100).alias("snippet"),
     )
+    step1 = assets.join(F.broadcast(ranked), "asset_id", "inner")
     return (
-        F.broadcast(ranked)
-        .join(assets, "asset_id", "left")
-        .join(pages, "doc_id", "left")
+        pages.join(F.broadcast(step1), "doc_id", "inner")
         .select(
             "asset_id",
             "match_count",

@@ -166,11 +166,15 @@ class SearchEngine:
         return self.enrich(out) if enrich else out
 
     def enrich(self, topk: DataFrame) -> DataFrame:
-        """J2: left-join doc metadata onto the (tiny) top-k —
-        QuerySearchController.php:307-336 semantics."""
+        """J2: join doc metadata onto the (tiny) top-k —
+        QuerySearchController.php:307-336 semantics.  The k-row side is
+        the BUILD side of a broadcast hash join (broadcast on the right
+        of an inner join; a broadcast-left OUTER join cannot build left
+        and would silently fall back to a corpus-sized sort-merge).
+        Inner ≡ left here: every result doc_id exists in doc_stats."""
         meta = self.doc_stats.select("doc_id", "repo", "path", "commit", "lang", "doc_len")
         return (
-            F.broadcast(topk).join(meta, "doc_id", "left")
+            meta.join(F.broadcast(topk), "doc_id", "inner")
             .orderBy("rank")
             .select("rank", "doc_id", "score", "match_count", "repo", "path", "commit", "lang", "doc_len")
         )

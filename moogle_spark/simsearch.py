@@ -168,17 +168,23 @@ def hyperplane_bands(
     num_bits: int = 32,
     bands: int = 4,
     id_col: str = "vec_id",
+    emb_col: str = "embedding",
 ) -> DataFrame:
     """(id, band_id, band_val): sign-of-dot-product bit signature split
     into ``bands`` integer band values.  Dots are rounded to 6 decimals
     before the sign test so Spark and the SQL oracle agree bit-for-bit.
     All JVM-side (zip_with/aggregate against broadcast literal planes)."""
     r = num_bits // bands
-    dim = len(embeddings.select("embedding").first()["embedding"])
+    first = embeddings.select(emb_col).first()
+    if first is None:  # empty input -> empty signature table
+        return embeddings.sparkSession.createDataFrame(
+            [], "id long, band_id int, band_val long"
+        )
+    dim = len(first[emb_col])
     planes = hyperplane_weights(num_bits, dim)
     bits = [
         (
-            F.round(_dot(F.col("embedding"), F.array(*[F.lit(w) for w in planes[b]])), 6)
+            F.round(_dot(F.col(emb_col), F.array(*[F.lit(w) for w in planes[b]])), 6)
             > 0
         ).cast("long")
         for b in range(num_bits)
@@ -207,6 +213,7 @@ def near_duplicate_pairs_lsh(
     num_bits: int = 32,
     bands: int = 4,
     id_col: str = "vec_id",
+    emb_col: str = "embedding",
 ) -> DataFrame:
     """Bucketed embedding near-dup — candidate pairs from the hyperplane
     band join (shuffles only (band_id, band_val) keys: linear in corpus),
@@ -216,7 +223,7 @@ def near_duplicate_pairs_lsh(
     (for cosine 0.99, r=8, b=4: ~1e-3); recall vs the exact all-pairs
     form is asserted in tests/test_simsearch.py.  Candidate volume for
     random pairs is ~(1/2^r)*bands of the quadratic (~1.5% at r=8,b=4)."""
-    banded = hyperplane_bands(embeddings, num_bits, bands, id_col)
+    banded = hyperplane_bands(embeddings, num_bits, bands, id_col, emb_col)
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -229,7 +236,7 @@ def near_duplicate_pairs_lsh(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    e = embeddings.select(F.col(id_col).alias("id"), F.col("embedding").alias("emb"))
+    e = embeddings.select(F.col(id_col).alias("id"), F.col(emb_col).alias("emb"))
     ea = e.select(F.col("id").alias("id_a"), F.col("emb").alias("emb_a"))
     eb = e.select(F.col("id").alias("id_b"), F.col("emb").alias("emb_b"))
     return (

@@ -52,7 +52,8 @@ def run_to_memory_sink(
     aggregated: DataFrame, name: str, timeout_s: float = 60.0
 ) -> None:
     """Drive the stream to completion into an in-memory table `name`
-    (complete mode — the aggregation is small by construction)."""
+    (complete mode — the aggregation is small by construction).  Raises
+    on timeout instead of letting callers read a half-populated sink."""
     q = (
         aggregated.writeStream.outputMode("complete")
         .format("memory")
@@ -60,7 +61,12 @@ def run_to_memory_sink(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    if not q.awaitTermination(timeout_s):
+        q.stop()
+        raise TimeoutError(
+            f"streaming query '{name}' did not finish within {timeout_s}s; "
+            "the memory sink would be partial"
+        )
 
 
 def running_search_totals(

@@ -134,18 +134,6 @@ class Warehouse:
             os.fsync(f.fileno())
         os.replace(tmp, os.path.join(p, MANIFEST))
 
-    def update_meta(self, name: str, extra: dict) -> None:
-        """Merge extra keys into a committed table's manifest (atomic)."""
-        p = self.path(name)
-        man = self.manifest(name)
-        man.update(extra)
-        tmp = os.path.join(p, MANIFEST + ".tmp")
-        with open(tmp, "w") as f:
-            json.dump(man, f, indent=2)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, os.path.join(p, MANIFEST))
-
     def read(self, spark: SparkSession, name: str) -> DataFrame:
         if not self.is_committed(name):
             raise FileNotFoundError(f"table {name} not committed in {self.root}")

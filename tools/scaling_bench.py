@@ -114,9 +114,14 @@ def main() -> None:
 
     corpus = _corpus_path(n_docs)
     if not os.path.exists(corpus):
+        import glob
+
         from moogle_spark.corpus import generate_docs
         from moogle_spark.session import get_spark
 
+        # evict prior-generation corpora before writing a fresh one
+        for stale in glob.glob(f"/tmp/moogle_scaling_corpus_{n_docs}_*.parquet"):
+            shutil.rmtree(stale, ignore_errors=True)
         spark = get_spark(app="scaling_gen", cores=8)
         generate_docs(spark, n_docs).write.mode("overwrite").parquet(corpus)
         spark.stop()
