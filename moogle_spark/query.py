@@ -114,13 +114,16 @@ class SearchEngine:
             from .fuzzy import rewrite_query
 
             terms = sorted(set(rewrite_query(self.term_stats, terms)))
-        dfs = self.term_dfs(terms)
-        present = sorted(t for t in terms if dfs.get(t, 0) > 0)
-        if not present:
+        if not terms:
             return self._empty(enrich)
-        idf = {t: float(bm25_idf(self.n_docs, dfs[t])) for t in present}
-        cand = self.postings.filter(F.col("term").isin(present))
-        fn = _make_scorer(idf, self.avgdl, k, mode)
+        # df rides into the scorer via a broadcast join with the (tiny)
+        # filtered term_stats — no per-query driver collect, so a search
+        # is ONE Spark job before the k-row merge.  Terms absent from the
+        # index simply contribute no rows; idf is recomputed per shard
+        # from the exact integer df, bit-identical to the oracle.
+        ts = F.broadcast(self.term_stats.filter(F.col("term").isin(terms)))
+        cand = self.postings.filter(F.col("term").isin(terms)).join(ts, "term")
+        fn = _make_scorer(self.n_docs, self.avgdl, k, mode)
         if self._sharded:
             # partitions physically hold whole shards (see __init__) —
             # score per partition, grouping by shard inside; zero exchange
@@ -207,12 +210,14 @@ def _partition_scorer(shard_fn):
     return run
 
 
-def _make_scorer(idf: dict[str, float], avgdl: float, k: int, mode: str):
-    terms_sorted = sorted(idf)
-
+def _make_scorer(n_docs: int, avgdl: float, k: int, mode: str):
     def score_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) == 0:
             return pd.DataFrame(columns=["shard", "doc_id", "score", "match_count"])
+        # idf from the joined df column (one value per term, exact ints)
+        dfs = dict(zip(pdf["term"], pdf["df"]))
+        idf = {t: float(bm25_idf(n_docs, int(d))) for t, d in dfs.items()}
+        terms_sorted = sorted(idf)
         shard = int(pdf["shard"].iloc[0])
         lo = int(pdf["first_doc"].min())
         span = int(pdf["last_doc"].max()) - lo + 1
