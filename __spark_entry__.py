@@ -153,6 +153,13 @@ def _q_source_boost(spark, sf_dir):
     return source_boosted_tf(_docs(spark, sf_dir))
 
 
+def _q_summaries(spark, sf_dir):
+    from moogle_spark.textops import summary_text
+
+    # 30-word cap exercises real truncation on the driver docs
+    return summary_text(_docs(spark, sf_dir), max_words=30)
+
+
 def _q_random_page(spark, sf_dir):
     from moogle_spark.textops import deterministic_sample
 
@@ -575,6 +582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_stats": _q_vocab,
         "top_terms": _q_top_terms,
         "source_boost": _q_source_boost,
+        "summaries": _q_summaries,
         "random_page": _q_random_page,
         "fuzzy_suggest": _q_fuzzy,
         # search analytics (§2.3 A14/A15, §2.6 T6/T7)
@@ -785,6 +793,10 @@ def oracle_sql() -> dict[str, str]:
         "FROM documents) "
         "SELECT s.doc_id, s.term, coalesce(tf.tf * 50, 10)::BIGINT AS boosted_tf "
         "FROM srct s LEFT JOIN tf ON tf.doc_id = s.doc_id AND tf.term = s.term",
+        "summaries": "WITH w AS (SELECT doc_id, "
+        "list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS ws FROM documents) "
+        "SELECT doc_id, array_to_string(ws[1:30], ' ') AS summary_text, "
+        "least(len(ws), 30)::INT AS summary_words FROM w",
         "random_page": "SELECT doc_id, lang, source FROM documents "
         "ORDER BY md5(doc_id::VARCHAR), doc_id LIMIT 1",
         "fuzzy_suggest": f"WITH {_TOKS}, {_TERMS}, "

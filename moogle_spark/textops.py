@@ -267,6 +267,21 @@ def source_boosted_tf(docs: DataFrame, factor: int = 50, default_tf: int = 10) -
     ).filter(F.col("in_src").isNotNull())  # bound output: boosted rows only
 
 
+def summary_text(docs: DataFrame, max_words: int = 500, text_col: str = "text") -> DataFrame:
+    """F9 (indexer/utils/utils.py:117-123): summary = the first
+    ``max_words`` whitespace-separated words, space-joined (the
+    reference's stored summary_text).  Pure column plan: split on
+    whitespace runs, slice, re-join."""
+    words = F.filter(
+        F.split(F.col(text_col), "\\s+"), lambda x: x != F.lit("")
+    )
+    return docs.select(
+        "doc_id",
+        F.array_join(F.slice(words, 1, max_words), " ").alias("summary_text"),
+        F.least(F.size(words), F.lit(max_words)).cast("int").alias("summary_words"),
+    )
+
+
 def deterministic_sample(docs: DataFrame, n: int = 1) -> DataFrame:
     """T8 (QuerySearchController.php:429-455 $sample): seeded/deterministic
     'random' doc — order by md5(doc_id) so Spark and the SQL oracle pick
