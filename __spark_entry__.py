@@ -339,15 +339,21 @@ def _q_knn_brute(spark, sf_dir):
 
 
 def _q_ivf_centroids(spark, sf_dir):
-    from moogle_spark.simsearch import centroid_scores
+    # trained k-means coarse quantizer (Lloyd iterations as DataFrame
+    # jobs), not the earlier per-label-mean stand-in
+    from moogle_spark.simsearch import kmeans_centroid_scores
 
-    return centroid_scores(_emb(spark, sf_dir), _query_vec(spark, sf_dir)).orderBy("label")
+    return kmeans_centroid_scores(
+        _emb(spark, sf_dir), _query_vec(spark, sf_dir), k=8, iters=2
+    ).orderBy("cell")
 
 
 def _q_ivf_topk(spark, sf_dir):
-    from moogle_spark.simsearch import ivf_topk
+    from moogle_spark.simsearch import ivf_topk_kmeans
 
-    return ivf_topk(_emb(spark, sf_dir), _query_vec(spark, sf_dir), k=10, nprobe=1)
+    return ivf_topk_kmeans(
+        _emb(spark, sf_dir), _query_vec(spark, sf_dir), k=10, n_cells=8, iters=2, nprobe=1
+    )
 
 
 def _q_emb_near_dup(spark, sf_dir):
@@ -735,6 +741,41 @@ _CENTROID = (
     "AS centroid_cosine FROM cent JOIN qd USING (dim) GROUP BY label)"
 )
 
+def _kmeans_ctes(k: int = 8, iters: int = 2) -> tuple[str, str]:
+    """CTE chain for deterministic Lloyd k-means over the embeddings
+    table, mirroring simsearch.kmeans_centroids exactly: md5-ranked seed
+    init, 6-decimal-rounded squared-L2 argmin assignment (ties to lower
+    cell), 6-decimal-rounded per-dim mean update.  Returns (ctes,
+    final_centroid_cte_name) — the final CTE has (cell, dim, m)."""
+    rn = "row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)"
+    parts = [
+        "eflat AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v, "
+        "unnest(generate_series(1, len(embedding))) AS dim FROM embeddings)",
+        f"seed AS (SELECT vec_id, CAST({rn} - 1 AS INT) AS cell "
+        f"FROM embeddings QUALIFY {rn} <= {k})",
+        "c0 AS (SELECT s.cell, f.dim, round(f.v, 6) AS m "
+        "FROM eflat f JOIN seed s USING (vec_id))",
+    ]
+    prev = "c0"
+    for i in range(1, iters + 1):
+        parts.append(
+            f"d{i} AS (SELECT f.vec_id, c.cell, "
+            "round(sum((f.v - c.m) * (f.v - c.m)), 6) AS dist "
+            f"FROM eflat f JOIN {prev} c USING (dim) GROUP BY f.vec_id, c.cell)"
+        )
+        parts.append(
+            f"a{i} AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, "
+            "row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn "
+            f"FROM d{i}) WHERE rn = 1)"
+        )
+        parts.append(
+            f"c{i} AS (SELECT a.cell, f.dim, round(avg(f.v), 6) AS m "
+            f"FROM eflat f JOIN a{i} a USING (vec_id) GROUP BY a.cell, f.dim)"
+        )
+        prev = f"c{i}"
+    return ", ".join(parts), prev
+
+
 _SIMHASH = (
     f"WITH {_TOKS}, {_TERMS}, "
     "tfh AS (SELECT doc_id, term, count(*) AS tf, "
@@ -745,6 +786,9 @@ _SIMHASH = (
     "sim AS (SELECT doc_id, sum(CASE WHEN s > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END)::BIGINT "
     "AS simhash FROM perbit GROUP BY doc_id)"
 )
+
+
+_KM_CTES, _KM_FIN = _kmeans_ctes(k=8, iters=2)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -905,13 +949,27 @@ def oracle_sql() -> dict[str, str]:
         "knn_brute": f"WITH {_COS_FLAT} "
         "SELECT vec_id, label, round(sum(v * qv) / (sqrt(sum(v * v)) * sqrt(sum(qv * qv))), 6) "
         "AS cosine FROM flat GROUP BY vec_id, label ORDER BY cosine DESC, vec_id LIMIT 10",
-        "ivf_centroids": f"WITH {_CENTROID} "
-        "SELECT label, centroid_cosine FROM cscore ORDER BY label",
-        "ivf_topk": f"WITH {_CENTROID}, "
-        "best AS (SELECT label FROM cscore ORDER BY centroid_cosine DESC, label LIMIT 1), "
+        "ivf_centroids": f"WITH {_KM_CTES}, "
+        "qd AS (SELECT unnest(embedding)::DOUBLE AS qv, "
+        "unnest(generate_series(1, len(embedding))) AS dim FROM embeddings WHERE vec_id = 0), "
+        f"cscore AS (SELECT cell, round(sum(m * qv) / (sqrt(sum(m * m)) * sqrt(sum(qv * qv))), 6) "
+        f"AS centroid_cosine FROM {_KM_FIN} JOIN qd USING (dim) GROUP BY cell) "
+        "SELECT cell, centroid_cosine FROM cscore ORDER BY cell",
+        "ivf_topk": f"WITH {_KM_CTES}, "
+        "qd AS (SELECT unnest(embedding)::DOUBLE AS qv, "
+        "unnest(generate_series(1, len(embedding))) AS dim FROM embeddings WHERE vec_id = 0), "
+        f"cscore AS (SELECT cell, round(sum(m * qv) / (sqrt(sum(m * m)) * sqrt(sum(qv * qv))), 6) "
+        f"AS centroid_cosine FROM {_KM_FIN} JOIN qd USING (dim) GROUP BY cell), "
+        "best AS (SELECT cell FROM cscore ORDER BY centroid_cosine DESC, cell LIMIT 1), "
+        # final assignment pass against the trained centroids
+        f"dfin AS (SELECT f.vec_id, c.cell, round(sum((f.v - c.m) * (f.v - c.m)), 6) AS dist "
+        f"FROM eflat f JOIN {_KM_FIN} c USING (dim) GROUP BY f.vec_id, c.cell), "
+        "afin AS (SELECT vec_id, cell FROM (SELECT vec_id, cell, "
+        "row_number() OVER (PARTITION BY vec_id ORDER BY dist, cell) AS rn FROM dfin) WHERE rn = 1), "
+        "probe AS (SELECT vec_id FROM afin JOIN best USING (cell)), "
         "q2 AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0), "
         "flat2 AS (SELECT e.vec_id, e.label, unnest(e.embedding)::DOUBLE AS v, "
-        "unnest(q2.qe)::DOUBLE AS qv FROM embeddings e JOIN best USING (label), q2) "
+        "unnest(q2.qe)::DOUBLE AS qv FROM embeddings e JOIN probe USING (vec_id), q2) "
         "SELECT vec_id, label, round(sum(v * qv) / (sqrt(sum(v * v)) * sqrt(sum(qv * qv))), 6) "
         "AS cosine FROM flat2 GROUP BY vec_id, label ORDER BY cosine DESC, vec_id LIMIT 10",
         "emb_near_dup_lsh": "WITH emb2 AS ("

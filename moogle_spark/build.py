@@ -197,6 +197,11 @@ def build_index(
     # race).  Other branches' analyzed scans simply inherit the split —
     # harmless (at sandbox sizes a few extra tasks; at real scale
     # table_bytes/TARGET exceeds the 128 MB default anyway).
+    # NOTE this is a SESSION-WIDE setting for the duration of the build:
+    # unrelated jobs planned concurrently on the same SparkSession will
+    # also see the tuned split.  Run builds on a dedicated session (or
+    # accept the temporarily coarser/finer splits) — restored on exit,
+    # via unset if the key was never explicitly set.
     total_bytes = 0
     for dirpath, _dn, filenames in os.walk(wh.path("analyzed")):
         for fn in filenames:
@@ -204,10 +209,16 @@ def build_index(
                 total_bytes += os.path.getsize(os.path.join(dirpath, fn))
     target = max(4 << 20, total_bytes // TARGET_ENCODE_GROUPS)
     conf = spark.conf
-    old_mpb = conf.get("spark.sql.files.maxPartitionBytes")
-    old_open = conf.get("spark.sql.files.openCostInBytes", "4194304")
+    old_mpb = conf.get("spark.sql.files.maxPartitionBytes", None)
+    old_open = conf.get("spark.sql.files.openCostInBytes", None)
     conf.set("spark.sql.files.maxPartitionBytes", str(target))
     conf.set("spark.sql.files.openCostInBytes", str(max(65536, target // 8)))
+
+    def _restore(key: str, old: str | None) -> None:
+        if old is None:
+            conf.unset(key)
+        else:
+            conf.set(key, old)
     try:
         if parallel:
             from concurrent.futures import ThreadPoolExecutor
@@ -231,8 +242,8 @@ def build_index(
             for b in branches:
                 b()
     finally:
-        conf.set("spark.sql.files.maxPartitionBytes", old_mpb)
-        conf.set("spark.sql.files.openCostInBytes", old_open)
+        _restore("spark.sql.files.maxPartitionBytes", old_mpb)
+        _restore("spark.sql.files.openCostInBytes", old_open)
     order = ["analyzed", "doc_stats", "term_stats", "corpus_stats", "postings", "doc_lens"]
     run.sort(key=order.index)
     skip.sort(key=order.index)
@@ -619,8 +630,7 @@ def _stage_postings(spark: SparkSession, wh: Warehouse) -> None:
                         + sum(len(b) for b in out["positions"])
                     )
                     yield out
-        py_acc.add({pid: {"partition_id": pid, "doc_count": int(t_py * 1000),
-                          "posting_bytes": 0, "sha256_rollup": ""}})
+        py_acc.add({pid: {"encode_ms": t_py * 1000.0}})
         lin_acc.add(
             {pid: {"partition_id": pid, "doc_count": n_blocks,
                    "posting_bytes": n_bytes, "sha256_rollup": ""}}
@@ -648,13 +658,13 @@ def _stage_postings(spark: SparkSession, wh: Warehouse) -> None:
         # contention, not job work)
         meta_fn=lambda: {
             "encode_python_sec": round(
-                sum(r["doc_count"] for r in py_acc.value.values()) / 1000.0, 1
+                sum(r["encode_ms"] for r in py_acc.value.values()) / 1000.0, 1
             )
         },
     )
     t = _tick("postings.write", t)
     if os.environ.get("MOOGLE_STAGE_TIMING"):
-        tot = sum(r["doc_count"] for r in py_acc.value.values()) / 1000.0
+        tot = sum(r["encode_ms"] for r in py_acc.value.values()) / 1000.0
         print(f"SUBSTEP postings.python_cpu_total {tot:.1f}s", flush=True)
     wh.append_lineage_rows("postings", list(lin_acc.value.values()))
     _tick("postings.lineage", t)

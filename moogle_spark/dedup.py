@@ -157,11 +157,22 @@ def minhash_lsh_pairs(
     )
 
 
+def _check_bits(bits: int) -> None:
+    """Hash-width guard: bits must be a multiple of 4 (the md5 prefix is
+    taken in whole hex chars — a non-multiple would silently truncate)
+    and <= 60 (15 hex chars keeps the conv result inside a positive
+    signed long; 64 would overflow the cast and corrupt every hash)."""
+    if bits % 4 != 0 or not (0 < bits <= 60):
+        raise ValueError(
+            f"bits={bits} unsupported: must be a positive multiple of 4 and <= 60"
+        )
+
+
 def _term_hash(term_col: Column, bits: int) -> Column:
     """First ``bits`` bits of md5(term) as a long, via base-16 conv —
     identical to the SQL oracle's cast(concat('0x', substr(md5(t),1,k))
-    as int).  bits must be a multiple of 4 and <= 60 (15 hex chars keeps
-    the conv result inside a positive signed long)."""
+    as int)."""
+    _check_bits(bits)
     return F.conv(F.substring(F.md5(term_col), 1, bits // 4), 16, 10).cast("long")
 
 
@@ -170,41 +181,39 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = 16) -> DataFram
     Σ_terms tf(t) · (±1 per md5-bit b of t) > 0.  Returns
     (doc_id, simhash:long).  The bit sum is done in LONG (cast inside the
     sum), so prints are exact up to bits=60 — 16 keeps the DuckDB oracle
-    cheap; 64-bit-class prints are what you'd ship at 100 TB."""
+    cheap; 64-bit-class prints are what you'd ship at 100 TB.
+
+    Shuffle shape: ONE groupBy(doc_id) carrying ``bits`` conditional-sum
+    columns (S_b = Σ tf·bit_b(h)) plus Σ tf — no per-bit row explode (the
+    earlier form multiplied the shuffle by bits×; at bits=60 that is a
+    60× row blow-up for identical output).  Bit b is then set iff
+    2·S_b − Σtf > 0, folded into the print with shifts, all map-side
+    partial-aggregated JVM work."""
+    _check_bits(bits)
     tf = (
         docs.select("doc_id", F.explode(tokens_col(text_col)).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
         .withColumn("h", _term_hash(F.col("term"), bits))
     )
-    per_bit = tf.select(
-        "doc_id",
-        "tf",
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
-        "h",
-    ).select(
-        "doc_id",
-        "bit",
-        # pure integer bit test (shiftright + AND): exact at every width,
-        # unlike float division which corrupts bits for hashes >= 2^53
-        F.when(F.expr("shiftright(h, bit) & 1") == 1, F.col("tf"))
-        .otherwise(-F.col("tf"))
-        .alias("v"),
-    )
-    bitsum = per_bit.groupBy("doc_id", "bit").agg(F.sum("v").alias("s"))
-    return (
-        bitsum.groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(
-                    F.col("s") > 0, F.pow(F.lit(2), F.col("bit")).cast("long")
-                ).otherwise(F.lit(0).cast("long"))
+    # pure integer bit test (shiftright + AND): exact at every width,
+    # unlike float division which corrupts bits for hashes >= 2^53
+    bit_sums = [
+        F.sum(
+            F.when(F.expr(f"shiftright(h, {b}) & 1") == 1, F.col("tf")).otherwise(
+                F.lit(0)
             )
-            .cast("long")
-            .alias("simhash")
-        )
-        .orderBy("doc_id")
-    )
+        ).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    sums = tf.groupBy("doc_id").agg(*bit_sums, F.sum("tf").alias("t"))
+    print_col = None
+    for b in range(bits):
+        term = F.when(
+            F.col(f"s{b}") * 2 > F.col("t"), F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        print_col = term if print_col is None else print_col + term
+    return sums.select("doc_id", print_col.alias("simhash")).orderBy("doc_id")
 
 
 def simhash_near_pairs(

@@ -82,7 +82,21 @@ class SearchEngine:
             # all (AQE hides cached outputPartitioning from the optimizer,
             # which would otherwise re-shuffle under groupBy)
             n_parts = max(8, spark.sparkContext.defaultParallelism)
-            self.postings = self.postings.repartition(n_parts, "shard").persist()
+            # sortWithinPartitions("term", ...) term-CLUSTERS each cached
+            # partition: the in-memory columnar cache keeps min/max stats
+            # per batch, so the per-query `term.isin(...)` filter prunes to
+            # the batches covering the query's term runs instead of
+            # scanning every cached batch of the whole index — per-query
+            # scan cost is O(query-term postings), not O(index).  (Without
+            # the sort, terms interleave across batches and the stats can
+            # never exclude anything.)  Row order within a partition is
+            # free to change: scoring groups by shard and sorts blocks
+            # itself, so results are identical — asserted by parity tests.
+            self.postings = (
+                self.postings.repartition(n_parts, "shard")
+                .sortWithinPartitions("term", "block_id")
+                .persist()
+            )
             self.term_stats = self.term_stats.persist()
             self._sharded = True
 
@@ -100,8 +114,14 @@ class SearchEngine:
         mode: str = "bmw",
         enrich: bool = False,
         fuzzy: bool = False,
+        page: int = 1,
     ) -> DataFrame:
         """Top-k BM25. Returns (rank, doc_id, score, match_count [+meta]).
+
+        ``page`` is the reference's $skip offset pagination
+        (QuerySearchController.php:280-281): page p returns global ranks
+        (p-1)*k+1 .. p*k.  Implemented as top page*k + a rank-window
+        slice, so the per-shard scorers still only ship k' = page*k rows.
 
         ``fuzzy=True`` mirrors the reference's FuzzySearch middleware
         running on every /api/search (routes/api.php:12): each query word
@@ -123,18 +143,21 @@ class SearchEngine:
         # from the exact integer df, bit-identical to the oracle.
         ts = F.broadcast(self.term_stats.filter(F.col("term").isin(terms)))
         cand = self.postings.filter(F.col("term").isin(terms)).join(ts, "term")
-        fn = _make_scorer(self.n_docs, self.avgdl, k, mode)
+        keff = page * k
+        fn = _make_scorer(self.n_docs, self.avgdl, keff, mode)
         if self._sharded:
             # partitions physically hold whole shards (see __init__) —
             # score per partition, grouping by shard inside; zero exchange
             scored = cand.mapInPandas(_partition_scorer(fn), RESULT_SCHEMA)
         else:
             scored = cand.groupBy("shard").applyInPandas(fn, RESULT_SCHEMA)
-        top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(keff)
         w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
         out = top.withColumn("rank", F.row_number().over(w)).select(
             "rank", "doc_id", "score", "match_count"
         )
+        if page > 1:
+            out = out.filter(F.col("rank") > (page - 1) * k)
         return self.enrich(out) if enrich else out
 
     def search_phrase(self, query: str, k: int = 20, enrich: bool = False) -> DataFrame:
@@ -242,10 +265,16 @@ def _make_scorer(n_docs: int, avgdl: float, k: int, mode: str):
 
 
 def _make_phrase_scorer(terms_ordered: list[str], idf: dict[str, float], avgdl: float, k: int):
-    """Per-shard exact-phrase scorer: decode candidate blocks WITH their
-    position streams, intersect shifted position sets along the phrase,
-    BM25-score matching docs over the distinct terms in ascending term
-    order (the frozen float order, matching oracle_phrase_search)."""
+    """Per-shard exact-phrase scorer, CANDIDATE-FIRST: decode only the
+    doc_id streams of every term's blocks, intersect candidate docs
+    across terms rarest-term-first (vectorized np.intersect1d), and only
+    then decode position streams — and only for blocks that contain a
+    surviving candidate.  Position-decode volume drops from Σ postings of
+    every phrase term to the blocks overlapping the intersection (for a
+    phrase pairing one rare with one common term, that is bounded by the
+    rare term's df, not the common term's).  Scoring is unchanged: BM25
+    over the phrase's distinct terms in ascending term order (the frozen
+    float order, matching oracle_phrase_search)."""
     uniq_sorted = sorted(set(terms_ordered))
 
     def score_shard(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -253,26 +282,56 @@ def _make_phrase_scorer(terms_ordered: list[str], idf: dict[str, float], avgdl: 
         if len(pdf) == 0:
             return pd.DataFrame(columns=cols)
         shard = int(pdf["shard"].iloc[0])
+        # pass 1: decode doc_ids only; remember each block's decoded ids
+        by_term = {t: g for t, g in pdf.groupby("term", sort=False)}
+        if any(t not in by_term for t in uniq_sorted):
+            return pd.DataFrame(columns=cols)  # a phrase term absent here
+        blk_ids: dict[str, list[np.ndarray]] = {}
+        term_docs: dict[str, np.ndarray] = {}
+        for t in uniq_sorted:
+            g = by_term[t]
+            ids_list = [
+                codec.decode_doc_ids(b, int(n))
+                for b, n in zip(g["doc_ids"], g["n_docs"])
+            ]
+            blk_ids[t] = ids_list
+            term_docs[t] = (
+                np.unique(np.concatenate(ids_list))
+                if ids_list
+                else np.zeros(0, dtype=np.int64)
+            )
+        # intersect rarest-first: each step shrinks the running set before
+        # the more common terms are touched
+        by_rarity = sorted(uniq_sorted, key=lambda t: (term_docs[t].size, t))
+        cands = term_docs[by_rarity[0]]
+        for t in by_rarity[1:]:
+            if cands.size == 0:
+                break
+            cands = np.intersect1d(cands, term_docs[t], assume_unique=True)
+        if cands.size == 0:
+            return pd.DataFrame(columns=cols)
+        # pass 2: decode positions (and dls) ONLY for blocks holding a
+        # survivor, keeping only the survivors' entries of each block
         pos: dict[str, dict[int, np.ndarray]] = {t: {} for t in uniq_sorted}
         dls: dict[int, int] = {}
-        for t, g in pdf.groupby("term", sort=False):
+        for t in uniq_sorted:
+            g = by_term[t]
             store = pos[t]
-            for n, ids_b, tfs_b, dls_b, pos_b, pints in zip(
-                g["n_docs"], g["doc_ids"], g["tfs"], g["dls"], g["positions"], g["pos_ints"]
+            for ids, n, dls_b, pos_b, pints in zip(
+                blk_ids[t], g["n_docs"], g["dls"], g["positions"], g["pos_ints"]
             ):
+                hit = np.isin(ids, cands, assume_unique=True)
+                if not hit.any():
+                    continue
                 n = int(n)
-                ids = codec.decode_doc_ids(ids_b, n)
                 dl = codec.varint_decode(dls_b, n)
                 plist = codec.decode_positions(pos_b, n, int(pints))
-                for j in range(n):
+                for j in np.flatnonzero(hit):
                     d = int(ids[j])
                     store[d] = plist[j]
                     dls[d] = int(dl[j])
-        cands = set(pos[uniq_sorted[0]])
-        for t in uniq_sorted[1:]:
-            cands &= set(pos[t])
         out_docs, out_scores, out_matches = [], [], []
-        for doc in sorted(cands):
+        for doc in cands.tolist():
             occ = pos[terms_ordered[0]][doc]
             for t in terms_ordered[1:]:
                 occ = np.intersect1d(occ + 1, pos[t][doc])

@@ -59,6 +59,22 @@ def test_enrichment_join(engine):
     assert out["repo"].notna().all()
 
 
+def test_offset_pagination_matches_oracle(engine, oracle_index):
+    """T2 engine-level: page=2, k=20 returns exactly the oracle's global
+    ranks 21..40 (QuerySearchController.php:280-281 $skip semantics)."""
+    q = "hotterm0 hotterm1"
+    got = engine.search(q, k=20, page=2).toPandas()
+    exp = oracle_search(oracle_index, q, k=40).iloc[20:40]
+    assert list(got["rank"]) == list(range(21, 41))
+    assert list(got["doc_id"]) == list(exp["doc_id"])
+    assert np.allclose(
+        got["score"].to_numpy(np.float64), exp["score"].to_numpy(np.float64), atol=1e-9
+    )
+    # page 1 with page kwarg defaulted is unchanged
+    p1 = engine.search(q, k=20).toPandas()
+    assert list(p1["rank"]) == list(range(1, 21))
+
+
 def test_absent_and_stopword_queries_empty(engine, oracle_index):
     for q in ["zzqqxxnosuchterm", "the and of"]:
         assert engine.search(q, k=10).count() == 0

@@ -69,6 +69,53 @@ def test_ivf_probes_best_cluster(spark, emb):
     assert list(got["vec_id"]) == list(brute["vec_id"])
 
 
+def test_kmeans_ivf_recall_unlabeled(spark, emb):
+    """Trained-k-means IVF (NO labels used anywhere) must place cluster
+    siblings in shared cells: recall@10 vs brute force >= 0.9 for
+    nprobe=2 of 6 cells on 3-cluster data, and the assignment must be
+    label-free by construction (kmeans_assign only reads vec_id +
+    embedding)."""
+    from moogle_spark.simsearch import (
+        brute_force_topk,
+        ivf_topk_kmeans,
+        kmeans_assign,
+        kmeans_centroids,
+    )
+
+    sdf, pdf = emb
+    cent = kmeans_centroids(sdf, k=6, iters=3)
+    c = cent.toPandas()
+    assert 1 <= len(c) <= 6 and all(len(v) == 8 for v in c["centroid"])
+    # every vector assigned to exactly one cell
+    a = kmeans_assign(sdf, cent).toPandas()
+    assert len(a) == len(pdf) and a["vec_id"].is_unique
+    recalls = []
+    for qi in [3, 10, 25]:
+        q = [float(np.float32(x)) for x in pdf.iloc[qi]["embedding"]]
+        brute = set(brute_force_topk(sdf, q, k=10).toPandas()["vec_id"])
+        ivf = set(
+            ivf_topk_kmeans(sdf, q, k=10, n_cells=6, iters=3, nprobe=2).toPandas()[
+                "vec_id"
+            ]
+        )
+        recalls.append(len(ivf & brute) / len(brute))
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.9, f"k-means IVF recall@10 {mean_recall:.3f} < 0.9"
+
+
+def test_kmeans_deterministic(spark, emb):
+    """Same input -> identical centroids across runs (seeded md5 init +
+    rounded math): required for the cross-engine oracle to hash-match."""
+    from moogle_spark.simsearch import kmeans_centroids
+
+    sdf, _ = emb
+    c1 = kmeans_centroids(sdf, k=4, iters=2).toPandas().sort_values("cell")
+    c2 = kmeans_centroids(sdf, k=4, iters=2).toPandas().sort_values("cell")
+    assert list(c1["cell"]) == list(c2["cell"])
+    for v1, v2 in zip(c1["centroid"], c2["centroid"]):
+        assert list(v1) == list(v2)
+
+
 def test_near_duplicate_pairs(spark):
     rows = [
         (1, [1.0, 0.0, 0.0]),
