@@ -23,9 +23,67 @@ def media(spark):
     return synth_media(docs)
 
 
-def test_decode_stub_raises_without_fake():
+def test_decode_unknown_container_raises():
+    """Real decode handles BMP/WAV; foreign codecs (JPEG etc.) still
+    raise — they genuinely need libraries absent from this container."""
     with pytest.raises(NotImplementedError):
-        decode_payload(b"xx", "image")
+        decode_payload(b"\xff\xd8\xff\xe0 jpegish", "image")
+
+
+def test_bmp_roundtrip_exact():
+    from moogle_spark.multimodal import decode_bmp, encode_bmp
+
+    rng = np.random.default_rng(3)
+    for h, w in [(5, 7), (8, 8), (3, 2)]:  # odd widths exercise row padding
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        out = decode_bmp(encode_bmp(px))
+        np.testing.assert_array_equal(out, px)
+
+
+def test_wav_roundtrip_exact():
+    from moogle_spark.multimodal import decode_wav, encode_wav
+
+    rng = np.random.default_rng(4)
+    s = rng.integers(-32768, 32768, 333, dtype=np.int16)
+    rate, out = decode_wav(encode_wav(s, rate=16000))
+    assert rate == 16000
+    np.testing.assert_array_equal(out, s)
+
+
+def test_decode_payload_real_paths():
+    from moogle_spark.multimodal import encode_bmp, encode_wav
+
+    px = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3)
+    v = decode_payload(encode_bmp(px), "image")
+    np.testing.assert_array_equal(v, np.arange(12, dtype=np.float64))
+    s = np.array([1, -2, 300], dtype=np.int16)
+    np.testing.assert_array_equal(
+        decode_payload(encode_wav(s), "audio"), s.astype(np.float64)
+    )
+
+
+def test_decode_stats_distributed(spark):
+    """decode_stats over genuinely encoded payloads must equal the
+    closed-form pixel/sample formulas (the same invariant the driver's
+    media_decode oracle checks cross-engine)."""
+    from moogle_spark.multimodal import decode_stats, synth_encoded_media
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 21)], "doc_id long")
+    got = decode_stats(synth_encoded_media(docs, limit=20)).toPandas().set_index("asset_id")
+    for a in range(1, 21):
+        if a % 2 == 0:
+            w, h = 8 + a % 9, 8 + a % 7
+            y, x, c = np.meshgrid(np.arange(h), np.arange(w), np.arange(3), indexing="ij")
+            vals = (a * 7 + y * 5 + x * 3 + c * 11) % 256
+            assert got.loc[a, "width"] == w and got.loc[a, "height"] == h
+        else:
+            i = np.arange(64 + a % 50)
+            vals = ((a * 13 + i * 7) % 65536) - 32768
+            assert got.loc[a, "width"] == -1
+        assert got.loc[a, "n_vals"] == vals.size
+        assert got.loc[a, "sum_val"] == int(vals.sum())
+        assert got.loc[a, "min_val"] == int(vals.min())
+        assert got.loc[a, "max_val"] == int(vals.max())
 
 
 def test_decode_fake_histogram():
