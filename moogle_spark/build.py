@@ -252,6 +252,187 @@ def build_index(
     return BuildInfo(n_docs, shards, shard_size, run, skip, stage_secs)
 
 
+def incremental_build(
+    spark: SparkSession,
+    docs: DataFrame,
+    warehouse: str | Warehouse,
+    n_shards: int | None = None,
+    parallel: bool = True,
+    mode: str = "full",
+) -> BuildInfo:
+    """Staleness-gated re-index — the reference's ``last_crawled`` gate
+    (services/indexer/main.py:140-143) over content identity: a doc whose
+    (repo, path, commit, content_sha256) already exists in the committed
+    ``analyzed`` table is NOT re-tokenized; its analyzed row (terms, tfs,
+    positions, doc_len) is reused verbatim.  Only new/changed docs run
+    the Python analyzer — at a daily 10%-churn cadence that is 10% of the
+    dominant build cost.  The sha gate itself is pure JVM
+    (sha2 over the incoming content — cheap relative to tokenize).
+
+    ``mode="full"``   — the incoming frame IS the corpus: docs absent
+                        from it are dropped.  The result is IDENTICAL to
+                        a from-scratch build_index over the same input
+                        (doc_ids are the global (repo, path, commit)
+                        sorted rank either way; asserted byte-equivalent
+                        in tests/test_incremental.py).
+    ``mode="upsert"`` — queue-drain semantics (the foreachBatch bridge):
+                        corpus = committed ∪ incoming, incoming winning
+                        per key; nothing is dropped.
+
+    Downstream stages (df, postings, …) recompute — global doc_ids and
+    df shift, and that work is the vectorized/JVM part of the build; the
+    gated cost is the tokenizer.  Tokenizer lineage lands under stage
+    ``incremental_tokenize`` so the gate is auditable (doc_count there ==
+    changed docs only)."""
+    if mode not in ("full", "upsert"):
+        raise ValueError(f"mode={mode!r} must be 'full' or 'upsert'")
+    wh = warehouse if isinstance(warehouse, Warehouse) else Warehouse(warehouse)
+    if not (
+        wh.is_committed("analyzed")
+        and wh.manifest("analyzed").get("format_version") == FORMAT_VERSION
+    ):
+        return build_index(spark, docs, wh, n_shards=n_shards, parallel=parallel)
+
+    import time as _time
+
+    from pyspark import StorageLevel
+
+    t0 = _time.time()
+    keys = ["repo", "path", "commit"]
+    carry = ["lang", "content_sha256", "doc_len", "terms", "tfs", "positions"]
+    old = wh.read(spark, "analyzed").select(*keys, *carry)
+    incoming = docs.withColumn(
+        "content_sha256",
+        F.sha2(F.encode(F.coalesce(F.col("content"), F.lit("")), "utf-8"), 256),
+    )
+    gate = keys + ["content_sha256"]
+    # changed = new key OR same key with different content
+    changed = incoming.join(old.select(*gate), gate, "left_anti")
+    if mode == "full":
+        reused = old.join(incoming.select(*gate), gate, "left_semi")
+    else:
+        reused = old.join(changed.select(*keys), keys, "left_anti")
+
+    sc = spark.sparkContext
+    tok_acc = sc.accumulator({}, _LineageAccParam())
+
+    def analyze_only(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pid = TaskContext.get().partitionId()
+        n = 0
+        dl_sum = 0
+        shas: list[str] = []
+        for pdf in batches:
+            out = {c: [] for c in keys + carry}
+            for repo, path, commit, lang, content in zip(
+                pdf["repo"], pdf["path"], pdf["commit"], pdf["lang"], pdf["content"]
+            ):
+                content = content or ""
+                tfp = term_freqs_positions(content)
+                terms = sorted(tfp)
+                sha = hashlib.sha256(content.encode("utf-8")).hexdigest()
+                dl = sum(t[0] for t in tfp.values())
+                n += 1
+                dl_sum += dl
+                shas.append(sha)
+                out["repo"].append(repo)
+                out["path"].append(path)
+                out["commit"].append(commit)
+                out["lang"].append(lang)
+                out["content_sha256"].append(sha)
+                out["doc_len"].append(dl)
+                out["terms"].append(terms)
+                out["tfs"].append([tfp[t][0] for t in terms])
+                out["positions"].append([p for t in terms for p in tfp[t][1]])
+            yield pd.DataFrame(out)
+        rollup = hashlib.sha256(",".join(sorted(shas)).encode()).hexdigest()
+        tok_acc.add(
+            {pid: {"partition_id": pid, "doc_count": n,
+                   "posting_bytes": dl_sum, "sha256_rollup": rollup}}
+        )
+
+    tok_schema = (
+        "repo string, path string, commit string, lang string, "
+        "content_sha256 string, doc_len int, "
+        "terms array<string>, tfs array<int>, positions array<int>"
+    )
+    analyzed_new = changed.select(*keys, "lang", "content").mapInPandas(
+        analyze_only, tok_schema
+    )
+    pre = reused.unionByName(analyzed_new)
+
+    # ---- doc_id reassignment: the SAME two-pass global-sorted-rank
+    # protocol as _stage_analyzed, minus the tokenizer — cheap relative
+    # to analysis, and what makes the output bit-equal to from-scratch.
+    par = sc.defaultParallelism
+    srt = (
+        pre.repartitionByRange(4 * par, *keys)
+        .sortWithinPartitions(*keys)
+        .persist(StorageLevel.DISK_ONLY)
+    )
+    counts = (
+        srt.select(F.spark_partition_id().alias("pid")).groupBy("pid").count().collect()
+    )
+    by_pid = {r["pid"]: r["count"] for r in counts}
+    n_docs = int(sum(by_pid.values()))
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(by_pid):
+        offsets[pid] = acc
+        acc += by_pid[pid]
+    shards = n_shards or default_shards(n_docs)
+    shard_size = math.ceil(n_docs / shards) if n_docs else 1
+    b_off = sc.broadcast(offsets)
+    lin_acc = sc.accumulator({}, _LineageAccParam())
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pid = TaskContext.get().partitionId()
+        next_id = b_off.value.get(pid, 0) + 1
+        part_shas: list[str] = []
+        part_dl = 0
+        for pdf in batches:
+            n = len(pdf)
+            ids = np.arange(next_id, next_id + n, dtype=np.int64)
+            next_id += n
+            part_shas.extend(pdf["content_sha256"])
+            part_dl += int(pdf["doc_len"].sum())
+            out = pdf.assign(doc_id=ids, shard=((ids - 1) // shard_size).astype(np.int32))
+            yield out[["doc_id", "repo", "path", "commit", "lang",
+                       "content_sha256", "shard", "doc_len",
+                       "terms", "tfs", "positions"]]
+        rollup = hashlib.sha256(",".join(sorted(part_shas)).encode()).hexdigest()
+        lin_acc.add(
+            {pid: {"partition_id": pid, "doc_count": len(part_shas),
+                   "posting_bytes": part_dl, "sha256_rollup": rollup}}
+        )
+
+    analyzed = srt.mapInPandas(assign, ANALYZED_SCHEMA)
+    wh.write(
+        analyzed,
+        "analyzed",
+        stage="analyzed",
+        partition_by=["shard"],
+        meta={"n_docs": n_docs, "n_shards": shards, "shard_size": shard_size},
+        meta_fn=lambda: {
+            "sum_dl": int(sum(r["posting_bytes"] for r in lin_acc.value.values()))
+        },
+    )
+    srt.unpersist()
+    wh.append_lineage_rows("analyzed", list(lin_acc.value.values()))
+    wh.append_lineage_rows("incremental_tokenize", list(tok_acc.value.values()))
+    t_analyzed = round(_time.time() - t0, 2)
+
+    # downstream stages rebuild from the fresh analyzed table via the
+    # normal machinery (analyzed is committed -> skipped; the dropped
+    # tables re-run with identical plans + commit semantics)
+    for t in ["doc_stats", "term_stats", "corpus_stats", "postings", "doc_lens"]:
+        wh.drop(t)
+    info = build_index(spark, docs, wh, n_shards=n_shards, parallel=parallel)
+    info.stages_run = ["analyzed"] + info.stages_run
+    info.stages_skipped = [s for s in info.stages_skipped if s != "analyzed"]
+    info.stage_secs = {"analyzed": t_analyzed, **(info.stage_secs or {})}
+    return info
+
+
 # ---------------------------------------------------------------------------
 
 

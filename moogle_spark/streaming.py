@@ -133,3 +133,22 @@ def incremental_index_foreachBatch(
         .start()
     )
     q.awaitTermination(timeout_s)
+
+
+def staleness_gated_batch_fn(warehouse: str):
+    """batch_fn for ``incremental_index_foreachBatch`` with the
+    reference's staleness gate (services/indexer/main.py:140-143 skips a
+    doc whose last_crawled is unchanged): each micro-batch is merged via
+    ``build.incremental_build(mode="upsert")``, so docs whose
+    (repo, path, commit, content_sha256) already sit in the committed
+    index are never re-tokenized — a re-delivered or unchanged doc costs
+    one JVM sha + an anti-join, not an analyzer pass."""
+
+    def fn(batch_df, batch_id: int) -> None:
+        from .build import incremental_build
+
+        incremental_build(
+            batch_df.sparkSession, batch_df, warehouse, mode="upsert"
+        )
+
+    return fn

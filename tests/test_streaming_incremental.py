@@ -40,3 +40,55 @@ def test_incremental_index_foreachbatch(spark, tmp_path):
     assert eng.n_docs == 120
     assert eng.search("hotterm0", k=5).count() == 5
     docs.unpersist()
+
+
+def test_staleness_gated_foreachbatch(spark, tmp_path):
+    """The gated bridge: micro-batch 2 re-delivers half of batch 1's docs
+    unchanged — only the genuinely new docs are tokenized (lineage
+    proves it), and the final index covers everything exactly once."""
+    from moogle_spark.corpus import generate_docs
+    from moogle_spark.query import SearchEngine
+    from moogle_spark.streaming import (
+        incremental_index_foreachBatch,
+        staleness_gated_batch_fn,
+    )
+    from moogle_spark.tables import Warehouse
+
+    docs = generate_docs(spark, 100).persist()
+    src = str(tmp_path / "drops")
+    os.makedirs(src, exist_ok=True)
+    third = F.pmod(F.xxhash64("path"), F.lit(3))
+    drop1 = docs.filter(third < 2)          # ~2/3 of the corpus
+    drop2 = docs.filter(third > 0)          # overlaps drop1 on third==1
+    n1, n_new2 = drop1.count(), docs.filter(third == 2).count()
+    drop1.write.parquet(src + "/drop1.parquet")
+
+    wh = str(tmp_path / "wh")
+    stream = spark.readStream.schema(
+        "repo string, path string, commit string, lang string, content string"
+    ).parquet(src + "/*.parquet")
+    incremental_index_foreachBatch(
+        stream, staleness_gated_batch_fn(wh), checkpoint=str(tmp_path / "ck1"),
+        timeout_s=300,
+    )
+    lin = Warehouse(wh).lineage(spark)
+    tok1 = lin.filter(F.col("stage") == "incremental_tokenize").count()
+    assert tok1 == 0  # first batch hit the cold path (plain build)
+
+    drop2.write.mode("overwrite").parquet(src + "/drop2.parquet")
+    stream2 = spark.readStream.schema(
+        "repo string, path string, commit string, lang string, content string"
+    ).parquet(src + "/*.parquet")
+    incremental_index_foreachBatch(
+        stream2, staleness_gated_batch_fn(wh), checkpoint=str(tmp_path / "ck1"),
+        timeout_s=300,
+    )
+    tok2 = (
+        Warehouse(wh).lineage(spark)
+        .filter(F.col("stage") == "incremental_tokenize")
+        .agg(F.sum("doc_count")).collect()[0][0]
+    )
+    assert tok2 == n_new2, f"tokenized {tok2}, expected only the {n_new2} new docs"
+    eng = SearchEngine(spark, wh, cache=False)
+    assert eng.n_docs == 100
+    docs.unpersist()
