@@ -543,6 +543,88 @@ def _q_media_decode(spark, sf_dir):
     return decode_stats(media).orderBy("asset_id")
 
 
+def _pages(spark, sf_dir):
+    """Synthetic HTML pages derived deterministically from doc_ids (the
+    driver corpus is source code, so the F4-F7 HTML chain gets a
+    constructed page per doc — BOTH engines build the identical string,
+    then each must parse it with its own regexp machinery)."""
+    i = F.col("doc_id")
+    s = lambda c: c.cast("string")  # noqa: E731
+    url = F.concat(
+        F.lit("https://site"), s(i % 7), F.lit(".example/dir"), s(i % 5),
+        F.lit("/page"), s(i), F.lit(".html"),
+    )
+    title = F.when(
+        i % 4 != 0, F.concat(F.lit("<title>plain title "), s(i), F.lit("</title>"))
+    ).otherwise(F.lit(""))
+    og_title = F.when(
+        i % 3 != 0,
+        F.concat(F.lit('<meta property="og:title" content="OG Title '), s(i), F.lit('"/>')),
+    ).otherwise(F.lit(""))
+    desc = F.when(
+        i % 2 == 0,
+        F.concat(F.lit('<meta name="description" content="desc '), s(i), F.lit('"/>')),
+    ).otherwise(F.lit(""))
+    og_url = F.when(
+        i % 6 == 0,
+        F.concat(F.lit('<meta property="og:url" content="https://canon.example/c'), s(i), F.lit('"/>')),
+    ).otherwise(F.lit(""))
+    links = F.concat(
+        F.lit('<a href="/rooted/'), s(i), F.lit('">r</a>'),
+        F.lit('<a href="rel'), s(i), F.lit('.html">l</a>'),
+        F.lit('<a href="https://ext.example/abs'), s(i), F.lit('">e</a>'),
+        F.when(
+            i % 5 == 0, F.concat(F.lit('<a href="bäd'), s(i), F.lit('">n</a>'))
+        ).otherwise(F.lit("")),
+    )
+    img = F.concat(F.lit('<img src="img'), s(i), F.lit('.png" alt="alt '), s(i), F.lit('"/>'))
+    paras = F.concat(
+        F.lit("<p>first para "), s(i), F.lit("</p><p>second [strip "), s(i), F.lit("] para</p>")
+    )
+    html = F.concat(
+        F.lit("<html><head>"), title, og_title, desc, og_url,
+        F.lit("</head><body>"), links, img, paras, F.lit("</body></html>"),
+    )
+    return _docs(spark, sf_dir).select(url.alias("url"), html.alias("html"))
+
+
+def _q_html_links(spark, sf_dir):
+    from moogle_spark.htmlops import extract_links
+
+    return extract_links(_pages(spark, sf_dir))
+
+
+def _q_html_images(spark, sf_dir):
+    from moogle_spark.htmlops import extract_images
+
+    return extract_images(_pages(spark, sf_dir))
+
+
+def _q_html_meta(spark, sf_dir):
+    from moogle_spark.htmlops import meta_projection
+
+    return meta_projection(_pages(spark, sf_dir))
+
+
+def _q_html_paragraphs(spark, sf_dir):
+    from moogle_spark.htmlops import paragraph_text
+
+    return paragraph_text(_pages(spark, sf_dir))
+
+
+def _q_display_fmt(spark, sf_dir):
+    from moogle_spark.htmlops import display_format
+
+    i = F.col("doc_id")
+    res = _docs(spark, sf_dir).select(
+        F.concat(
+            F.lit("result xYz"), (i % 9).cast("string"), F.lit(" of page "), i.cast("string")
+        ).alias("title"),
+        (i * 12347).alias("total_hits"),
+    )
+    return display_format(res).orderBy("display_title")
+
+
 def _q_streaming_hourly(spark, sf_dir):
     """§2.9 — a REAL Structured Streaming query (readStream -> watermarked
     event-time windowed counts -> availableNow -> memory sink), whose
@@ -657,6 +739,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_valid": _q_image_filter,
         "media_features": _q_multimodal,
         "media_decode": _q_media_decode,
+        # F4-F7 HTML chain + X11 display formatting (round 3: previously
+        # declared non-goals, now closing SURVEY §2 at 72/72)
+        "html_links": _q_html_links,
+        "html_images": _q_html_images,
+        "html_meta": _q_html_meta,
+        "html_paragraphs": _q_html_paragraphs,
+        "display_fmt": _q_display_fmt,
         "engine_bm25": _q_engine_bm25,
     }
 
@@ -805,6 +894,32 @@ _SIMHASH = (
 
 
 _KM_CTES, _KM_FIN = _kmeans_ctes(k=8, iters=2)
+
+# synthetic HTML pages (must match _pages() character-for-character)
+_PAGES = (
+    "pages AS (SELECT "
+    "'https://site' || (doc_id % 7) || '.example/dir' || (doc_id % 5) || "
+    "'/page' || doc_id || '.html' AS url, "
+    "'<html><head>' || "
+    "CASE WHEN doc_id % 4 <> 0 THEN '<title>plain title ' || doc_id || '</title>' ELSE '' END || "
+    "CASE WHEN doc_id % 3 <> 0 THEN '<meta property=\"og:title\" content=\"OG Title ' || doc_id || '\"/>' ELSE '' END || "
+    "CASE WHEN doc_id % 2 = 0 THEN '<meta name=\"description\" content=\"desc ' || doc_id || '\"/>' ELSE '' END || "
+    "CASE WHEN doc_id % 6 = 0 THEN '<meta property=\"og:url\" content=\"https://canon.example/c' || doc_id || '\"/>' ELSE '' END || "
+    "'</head><body>' || "
+    "'<a href=\"/rooted/' || doc_id || '\">r</a>' || "
+    "'<a href=\"rel' || doc_id || '.html\">l</a>' || "
+    "'<a href=\"https://ext.example/abs' || doc_id || '\">e</a>' || "
+    "CASE WHEN doc_id % 5 = 0 THEN '<a href=\"bäd' || doc_id || '\">n</a>' ELSE '' END || "
+    "'<img src=\"img' || doc_id || '.png\" alt=\"alt ' || doc_id || '\"/>' || "
+    "'<p>first para ' || doc_id || '</p><p>second [strip ' || doc_id || '] para</p>' || "
+    "'</body></html>' AS html FROM documents)"
+)
+
+_RESOLVE = (
+    "CASE WHEN regexp_matches(href, '^https?://') THEN href "
+    "WHEN href LIKE '/%' THEN regexp_extract(url, '^(https?://[^/]+)', 1) || href "
+    "ELSE regexp_replace(url, '[^/]*$', '') || href END"
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1114,6 +1229,33 @@ def oracle_sql() -> dict[str, str]:
         "SELECT asset_id, modality, width, height, count(*)::BIGINT AS n_vals, "
         "sum(v)::BIGINT AS sum_val, min(v)::BIGINT AS min_val, max(v)::BIGINT AS max_val "
         "FROM allv GROUP BY asset_id, modality, width, height ORDER BY asset_id",
+        "html_links": f"WITH {_PAGES}, "
+        "hrefs AS (SELECT url, unnest(regexp_extract_all(html, '<a\\s[^>]*href=\"([^\"]*)\"', 1)) AS href FROM pages), "
+        "ok AS (SELECT url, href FROM hrefs WHERE href <> '' AND regexp_matches(href, '^[\\x20-\\x7e]+$')), "
+        f"res AS (SELECT DISTINCT url, {_RESOLVE} AS link FROM ok) "
+        "SELECT url, link FROM res ORDER BY url, link",
+        "html_images": f"WITH {_PAGES}, "
+        "ims AS (SELECT url, "
+        "unnest(regexp_extract_all(html, '<img\\s[^>]*src=\"([^\"]*)\"[^>]*alt=\"([^\"]*)\"', 1)) AS href, "
+        "unnest(regexp_extract_all(html, '<img\\s[^>]*src=\"([^\"]*)\"[^>]*alt=\"([^\"]*)\"', 2)) AS img_alt FROM pages) "
+        f"SELECT url, {_RESOLVE} AS img_src, img_alt FROM ims WHERE href <> '' "
+        "ORDER BY url, img_src",
+        "html_meta": f"WITH {_PAGES} SELECT url, "
+        "coalesce(nullif(regexp_extract(html, '<meta\\s[^>]*(?:property|name)=\"og:title\"[^>]*content=\"([^\"]*)\"', 1), ''), "
+        "nullif(regexp_extract(html, '<title>(.*?)</title>', 1), '')) AS title, "
+        "coalesce(nullif(regexp_extract(html, '<meta\\s[^>]*(?:property|name)=\"og:description\"[^>]*content=\"([^\"]*)\"', 1), ''), "
+        "nullif(regexp_extract(html, '<meta\\s[^>]*(?:property|name)=\"description\"[^>]*content=\"([^\"]*)\"', 1), '')) AS description, "
+        "coalesce(nullif(regexp_extract(html, '<meta\\s[^>]*(?:property|name)=\"og:url\"[^>]*content=\"([^\"]*)\"', 1), ''), url) AS canonical_url "
+        "FROM pages ORDER BY url",
+        "html_paragraphs": f"WITH {_PAGES} SELECT url, "
+        "regexp_replace(array_to_string(regexp_extract_all(html, '<p[^>]*>(.*?)</p>', 1), ' '), "
+        "'\\[.*?\\]', '', 'g') AS paragraphs FROM pages ORDER BY url",
+        "display_fmt": "WITH res AS (SELECT "
+        "'result xYz' || (doc_id % 9) || ' of page ' || doc_id AS title, "
+        "doc_id * 12347 AS total_hits FROM documents) "
+        "SELECT array_to_string(list_transform(string_split(title, ' '), "
+        "w -> upper(w[1]) || w[2:]), ' ') AS display_title, "
+        "format('{:,}', total_hits) AS display_hits FROM res ORDER BY display_title",
         "media_features": "WITH ch AS (SELECT doc_id, "
         "unnest(regexp_extract_all(text, '(?s).')) AS c FROM documents), "
         "h AS (SELECT doc_id, count(*) AS n, count(*) FILTER (ord(c) < 16) AS b0 "

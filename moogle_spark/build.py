@@ -654,14 +654,19 @@ def _stage_postings(spark: SparkSession, wh: Warehouse) -> None:
         n_per_doc = pdf["terms"].map(len).to_numpy(dtype=np.int64)
         if int(n_per_doc.sum()) == 0:
             return pd.DataFrame(columns=cols)
+        # int32 for tfs/dls/positions: all three are bounded by doc_len
+        # (< 2^31 by construction), and halving the element width halves
+        # the memory traffic of every downstream gather/cumsum/pack —
+        # the encode path is bandwidth-bound on a many-core single box.
+        # doc_ids stay int64 (10^12-file scale).
         doc_ids = np.repeat(pdf["doc_id"].to_numpy(dtype=np.int64), n_per_doc)
-        dls = np.repeat(pdf["doc_len"].to_numpy(dtype=np.int64), n_per_doc)
+        dls = np.repeat(pdf["doc_len"].to_numpy(dtype=np.int32), n_per_doc)
         terms = np.concatenate([np.asarray(t, dtype=object) for t in pdf["terms"]])
-        tfs = np.concatenate([np.asarray(t, dtype=np.int64) for t in pdf["tfs"]])
+        tfs = np.concatenate([np.asarray(t, dtype=np.int32) for t in pdf["tfs"]])
         # per-doc FLAT position arrays -> one flat stream, doc-major
         # (posting i owns the tfs[i] ints at doc-major offset po[i])
         pos_doc_major = np.concatenate(
-            [np.asarray(p, dtype=np.int64) for p in pdf["positions"]]
+            [np.asarray(p, dtype=np.int32) for p in pdf["positions"]]
         )
         codes, uniques = pd.factorize(terms)
         uorder = np.argsort(uniques, kind="mergesort")
@@ -675,15 +680,17 @@ def _stage_postings(spark: SparkSession, wh: Warehouse) -> None:
         tfs = tfs[order]
         n_post = terms_s.size
 
-        # ---- gather positions into sorted-posting order (ragged gather)
+        # ---- gather positions into sorted-posting order (ragged gather).
+        # One fused repeat: repeat(po[order] - out_off[:-1]) + arange ==
+        # repeat(po[order]) + (arange - repeat(out_off[:-1])) — the old
+        # form materialized TWO total_pos-sized repeats.
         po = np.zeros(n_post, dtype=np.int64)
         np.cumsum(tf_dm[:-1], out=po[1:])
         out_off = np.zeros(n_post + 1, dtype=np.int64)
         np.cumsum(tfs, out=out_off[1:])
         total_pos = int(out_off[-1])
-        gather = np.repeat(po[order], tfs) + (
-            np.arange(total_pos) - np.repeat(out_off[:-1], tfs)
-        )
+        gather = np.repeat(po[order] - out_off[:-1], tfs)
+        gather += np.arange(total_pos)
         pos_s = pos_doc_major[gather]
 
         # ---- block segmentation (vectorized over terms)
@@ -721,7 +728,7 @@ def _stage_postings(spark: SparkSession, wh: Warehouse) -> None:
             np.subtract(pos_s[1:], pos_s[:-1], out=pdelta[1:])
             pdelta[out_off[:-1]] = pos_s[out_off[:-1]]
         stream_len = n_post + total_pos
-        stream = np.empty(stream_len, dtype=np.int64)
+        stream = np.empty(stream_len, dtype=np.int32)
         len_slots = np.arange(n_post) + out_off[:-1]
         stream[len_slots] = tfs
         mask = np.ones(stream_len, dtype=bool)
@@ -736,10 +743,12 @@ def _stage_postings(spark: SparkSession, wh: Warehouse) -> None:
         last = bends - 1
         blk_pos_b1 = pos_boff[len_slots[last] + 1 + tfs[last]]
 
-        # ---- per-block stats, all reduceat (blocks tile postings exactly)
+        # ---- per-block stats (blocks tile postings exactly); block tf
+        # totals come from the int64 prefix sums already computed for the
+        # position layout (exact, no int32-overflow risk, no reduceat)
         tfpart = bm25_tfpart(tfs, dls, avgdl)
         bmax = np.maximum.reduceat(tfpart, bstarts)
-        btf_sum = np.add.reduceat(tfs, bstarts)
+        btf_sum = out_off[bends] - out_off[bstarts]
         nd = bends - bstarts
 
         mv_id = memoryview(id_bytes)

@@ -26,40 +26,60 @@ def varint_encode_with_lens(values: np.ndarray) -> tuple[bytes, np.ndarray]:
     """LEB128-encode a non-negative int array; also return the per-value
     byte width so callers can slice the stream at value boundaries (the
     block encoder compresses a whole partition's postings in ONE call and
-    carves per-block byte ranges out of the result).  Vectorized: computes
-    the byte width of every value, scatters 7-bit groups into one output
-    buffer."""
-    v = np.asarray(values, dtype=_U64)
+    carves per-block byte ranges out of the result).
+
+    Bandwidth-lean vectorization (the encoder is the single hottest
+    Python loop at build time, and on a many-core single box it is
+    memory-bus bound, not ALU bound):
+      * values that fit 32 bits — tfs, dls, position deltas, and most
+        doc-id deltas — are processed in uint32, halving every
+        intermediate array's byte traffic vs the old always-u64 path;
+      * per-value byte widths come from 4 (u32) / 9 (u64) vectorized
+        threshold compares instead of a shift-until-zero loop that
+        re-touched the full array once per output byte;
+      * after the first 7-bit group (which every value emits), the
+        remaining groups operate on a COMPACTED array of still-alive
+        values — multi-byte values are a small minority of delta
+        streams, so later passes touch only their bytes.
+    Output bytes are identical to the previous encoder (same LEB128)."""
+    v = np.asarray(values)
     if v.size == 0:
         return b"", np.zeros(0, dtype=np.int64)
-    nbits = np.zeros(v.shape, dtype=np.int64)
-    tmp = v.copy()
-    nz = tmp > 0
-    while nz.any():
-        nbits[nz] += 1
-        tmp >>= _U64(7)
-        nz = tmp > 0
-    nbytes = np.maximum(nbits, 1)  # value 0 still takes one byte
+    if int(v.max()) <= 0xFFFFFFFF:
+        dt = np.uint32
+        thresholds = (7, 14, 21, 28)
+    else:
+        dt = _U64
+        thresholds = tuple(range(7, 64, 7))
+    v = v.astype(dt, copy=False)
+    seven = dt(7)
+    mask = dt(0x7F)
+    nbytes = np.ones(v.shape, dtype=np.int64)
+    for t in thresholds:
+        nbytes += v >= dt(1 << t)
     ends = np.cumsum(nbytes)
     total = int(ends[-1])
     out = np.zeros(total, dtype=np.uint8)
     starts = ends - nbytes
-    # scatter 7-bit groups; max 10 groups for 64-bit values
-    shift = _U64(0)
-    remaining = v.copy()
-    idx = starts.copy()
-    alive = np.ones(v.shape, dtype=bool)
-    for _ in range(10):
-        if not alive.any():
-            break
-        chunk = (remaining & _U64(0x7F)).astype(np.uint8)
-        remaining = remaining >> _U64(7)
-        more = (remaining > 0) & alive
+    # first 7-bit group: every value emits one byte
+    chunk = (v & mask).astype(np.uint8)
+    rem = v >> seven
+    more = rem > 0
+    chunk[more] |= 0x80
+    out[starts] = chunk
+    # subsequent groups: compact to the still-alive values only
+    alive = np.flatnonzero(more)
+    rem = rem[alive]
+    pos = starts[alive] + 1
+    while rem.size:
+        chunk = (rem & mask).astype(np.uint8)
+        rem = rem >> seven
+        more = rem > 0
         chunk[more] |= 0x80
-        out[idx[alive]] = chunk[alive]
-        idx[alive] += 1
-        alive = more
-        shift += _U64(7)
+        out[pos] = chunk
+        keep = np.flatnonzero(more)
+        rem = rem[keep]
+        pos = pos[keep] + 1
     return out.tobytes(), nbytes
 
 

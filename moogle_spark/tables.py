@@ -134,6 +134,37 @@ class Warehouse:
             os.fsync(f.fileno())
         os.replace(tmp, os.path.join(p, MANIFEST))
 
+    def expire_stale_staging(self, ttl_seconds: float = 3600.0) -> list[str]:
+        """S8 — the reference's 1-hour TTL on staged image data
+        (image-api image_controller.go:37, ``pipeline.Expire(imageKey,
+        1h)``) as warehouse maintenance: delete any table directory that
+        has NO commit manifest and whose newest file is older than the
+        TTL — an abandoned write from a killed job (a LIVE writer's
+        files are necessarily younger than the TTL, so it is never
+        swept).  Committed tables and the lineage log are never touched;
+        on Iceberg proper this maps to snapshot/orphan-file expiry.
+        Returns the removed table names."""
+        removed: list[str] = []
+        now = time.time()
+        for name in sorted(os.listdir(self.root)):
+            p = self.path(name)
+            if not os.path.isdir(p) or name == "lineage":
+                continue
+            if os.path.exists(os.path.join(p, MANIFEST)):
+                continue
+            newest = max(
+                (
+                    os.path.getmtime(os.path.join(dp, f))
+                    for dp, _dn, fs in os.walk(p)
+                    for f in fs
+                ),
+                default=os.path.getmtime(p),
+            )
+            if now - newest > ttl_seconds:
+                shutil.rmtree(p, ignore_errors=True)
+                removed.append(name)
+        return removed
+
     def read(self, spark: SparkSession, name: str) -> DataFrame:
         if not self.is_committed(name):
             raise FileNotFoundError(f"table {name} not committed in {self.root}")
