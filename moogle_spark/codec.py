@@ -155,3 +155,31 @@ def decode_positions(buf: bytes, n_docs: int, total_ints: int) -> list[np.ndarra
         out.append(np.cumsum(flat[i : i + n]))
         i += n
     return out
+
+
+def decode_positions_flat(buf: bytes, tfs: np.ndarray, total_ints: int) -> np.ndarray:
+    """Flat absolute positions (doc-major) of a whole block, given the
+    block's tf array (available from the parallel ``tfs`` column):
+    equivalent to ``np.concatenate(decode_positions(...))`` but fully
+    vectorized — the per-posting cumsum loop becomes ONE global cumsum
+    with a per-posting correction (each posting's delta run restarts at
+    its absolute first position, so subtracting the running total at
+    every run start re-bases all runs at once)."""
+    n = int(tfs.size)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    flat = varint_decode(buf, total_ints)
+    # stream layout per posting: [tf, delta*tf]; len-slot index of
+    # posting j is cumsum(1 + tf)[:j]
+    ls = np.zeros(n, dtype=np.int64)
+    np.cumsum(1 + tfs[:-1], out=ls[1:])
+    mask = np.ones(total_ints, dtype=bool)
+    mask[ls] = False
+    c = np.cumsum(flat[mask])
+    starts = np.zeros(n, dtype=np.int64)
+    np.cumsum(tfs[:-1], out=starts[1:])
+    corr = np.zeros(n, dtype=np.int64)
+    nz = starts > 0
+    corr[nz] = c[starts[nz] - 1]
+    return c - np.repeat(corr, tfs)

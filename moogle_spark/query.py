@@ -311,49 +311,61 @@ def _make_phrase_scorer(terms_ordered: list[str], idf: dict[str, float], avgdl: 
         if cands.size == 0:
             return pd.DataFrame(columns=cols)
         # pass 2: decode positions (and dls) ONLY for blocks holding a
-        # survivor, keeping only the survivors' entries of each block
-        pos: dict[str, dict[int, np.ndarray]] = {t: {} for t in uniq_sorted}
-        dls: dict[int, int] = {}
+        # survivor, keeping only the survivors' entries — as FLAT
+        # (doc, pos) arrays per term (no per-doc dict, no per-doc loop)
+        t_docs: dict[str, np.ndarray] = {}   # per-posting doc (survivors)
+        t_tfs: dict[str, np.ndarray] = {}
+        t_pos: dict[str, np.ndarray] = {}    # flat positions, doc-major
+        dl_doc_chunks: list[np.ndarray] = []
+        dl_val_chunks: list[np.ndarray] = []
         for t in uniq_sorted:
             g = by_term[t]
-            store = pos[t]
-            for ids, n, dls_b, pos_b, pints in zip(
-                blk_ids[t], g["n_docs"], g["dls"], g["positions"], g["pos_ints"]
+            dc, tc, pc = [], [], []
+            for ids, n, tfs_b, dls_b, pos_b, pints in zip(
+                blk_ids[t], g["n_docs"], g["tfs"], g["dls"], g["positions"], g["pos_ints"]
             ):
                 hit = np.isin(ids, cands, assume_unique=True)
                 if not hit.any():
                     continue
                 n = int(n)
-                dl = codec.varint_decode(dls_b, n)
-                plist = codec.decode_positions(pos_b, n, int(pints))
-                for j in np.flatnonzero(hit):
-                    d = int(ids[j])
-                    store[d] = plist[j]
-                    dls[d] = int(dl[j])
-        out_docs, out_scores, out_matches = [], [], []
-        for doc in cands.tolist():
-            occ = pos[terms_ordered[0]][doc]
-            for t in terms_ordered[1:]:
-                occ = np.intersect1d(occ + 1, pos[t][doc])
-                if occ.size == 0:
-                    break
+                tfs = codec.decode_tfs(tfs_b, n)
+                flat = codec.decode_positions_flat(pos_b, tfs, int(pints))
+                keep = np.repeat(hit, tfs)
+                dc.append(ids[hit])
+                tc.append(tfs[hit])
+                pc.append(flat[keep])
+                dl_doc_chunks.append(ids[hit])
+                dl_val_chunks.append(codec.varint_decode(dls_b, n)[hit])
+            t_docs[t] = np.concatenate(dc)
+            t_tfs[t] = np.concatenate(tc)
+            t_pos[t] = np.concatenate(pc)
+        # composite key doc*M + pos folds the whole phrase walk into
+        # vectorized sorted-set intersections across ALL candidate docs
+        # at once (M > max pos + 1, so pos+1 never crosses a doc)
+        M = int(max(p.max() for p in t_pos.values() if p.size)) + 2
+        keys: dict[str, np.ndarray] = {}
+        for t in uniq_sorted:
+            kk = t_docs[t].repeat(t_tfs[t]) * M + t_pos[t]
+            kk.sort()  # runs may arrive out of doc order
+            keys[t] = kk
+        occ = keys[terms_ordered[0]]
+        for t in terms_ordered[1:]:
+            occ = np.intersect1d(occ + 1, keys[t], assume_unique=True)
             if occ.size == 0:
-                continue
-            score = 0.0
-            dl = dls[doc]
-            for t in uniq_sorted:  # frozen accumulation order
-                tf = pos[t][doc].size
-                score += float(
-                    idf[t] * bm25_tfpart(np.asarray([tf]), np.asarray([dl]), avgdl)[0]
-                )
-            out_docs.append(doc)
-            out_scores.append(score)
-            out_matches.append(int(occ.size))
-        if not out_docs:
-            return pd.DataFrame(columns=cols)
-        docs_a = np.asarray(out_docs, dtype=np.int64)
-        scores_a = np.asarray(out_scores, dtype=np.float64)
-        matches_a = np.asarray(out_matches, dtype=np.int64)
+                return pd.DataFrame(columns=cols)
+        docs_a, matches_a = np.unique(occ // M, return_counts=True)
+        # vectorized BM25 over the phrase's distinct terms in ascending
+        # term order — elementwise identical to the old per-doc loop
+        dl_docs = np.concatenate(dl_doc_chunks)
+        dl_vals = np.concatenate(dl_val_chunks)
+        o = np.argsort(dl_docs, kind="mergesort")
+        dl_docs, dl_vals = dl_docs[o], dl_vals[o]
+        dl_vec = dl_vals[np.searchsorted(dl_docs, docs_a)]
+        scores_a = np.zeros(docs_a.size, dtype=np.float64)
+        for t in uniq_sorted:  # frozen accumulation order
+            o = np.argsort(t_docs[t], kind="mergesort")
+            tf_vec = t_tfs[t][o][np.searchsorted(t_docs[t][o], docs_a)]
+            scores_a += idf[t] * bm25_tfpart(tf_vec, dl_vec, avgdl)
         order = np.lexsort((docs_a, -scores_a))[:k]
         return pd.DataFrame(
             {

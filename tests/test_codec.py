@@ -49,3 +49,21 @@ def test_empty_varint():
 def test_compression_beats_raw():
     ids = np.cumsum(np.random.default_rng(7).integers(1, 64, 128))
     assert len(codec.encode_doc_ids(ids)) < 128 * 8 // 4
+
+
+def test_decode_positions_flat_matches_listform():
+    import numpy as np
+
+    from moogle_spark import codec
+
+    rng = np.random.default_rng(9)
+    per_doc = [
+        np.sort(rng.choice(5000, size=rng.integers(1, 40), replace=False))
+        for _ in range(57)
+    ]
+    buf = codec.encode_positions(per_doc)
+    tfs = np.array([p.size for p in per_doc], dtype=np.int64)
+    total = int(tfs.sum()) + len(per_doc)
+    want = np.concatenate(codec.decode_positions(buf, len(per_doc), total))
+    got = codec.decode_positions_flat(buf, tfs, total)
+    np.testing.assert_array_equal(got, want)
