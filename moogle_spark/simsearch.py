@@ -272,6 +272,65 @@ def ivf_topk(
     )
 
 
+def ivf_index_write(
+    embeddings: DataFrame,
+    path: str,
+    n_cells: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+) -> None:
+    """Materialize the IVF index as parquet PARTITIONED BY cell — the
+    100 TB layout: each coarse cell is a partition directory, so a probe
+    of nprobe cells is a partition-PRUNED scan (the non-probed cells'
+    files are never opened; `explain` shows the cell filter in
+    PartitionFilters).  Centroids are stored alongside as a tiny
+    `_centroids` parquet for probe ranking."""
+    cent = kmeans_centroids(embeddings, k=n_cells, iters=iters)
+    assign = kmeans_assign(embeddings, cent, id_col=id_col)
+    (
+        embeddings.join(assign, id_col)
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/vectors")
+    )
+    cent.write.mode("overwrite").parquet(f"{path}/_centroids")
+
+
+def ivf_search_indexed(
+    spark,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Query the materialized IVF index: rank stored centroids (tiny
+    driver-side read), then scan ONLY the probed cells' partitions —
+    `cell IN (...)` is a partition filter, so scan cost is
+    O(probed cells), not O(corpus), at any scale."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    cent = spark.read.parquet(f"{path}/_centroids")
+    probe = [
+        int(r["cell"])
+        for r in cent.select(
+            "cell", F.round(cosine_col(F.col("centroid"), q), 6).alias("cc")
+        )
+        .orderBy(F.desc("cc"), F.asc("cell"))
+        .limit(nprobe)
+        .collect()
+    ]
+    vecs = spark.read.parquet(f"{path}/vectors").filter(F.col("cell").isin(probe))
+    return (
+        vecs.select(
+            F.col(id_col),
+            "label",
+            F.round(cosine_col(F.col("embedding"), q), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def near_duplicate_pairs(
     embeddings: DataFrame, threshold: float = 0.95, id_col: str = "vec_id"
 ) -> DataFrame:

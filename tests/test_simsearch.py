@@ -154,3 +154,37 @@ def test_hyperplane_lsh_near_dup_recall(spark):
     assert len(exact_pairs) >= 20
     recall = len(lsh_pairs) / len(exact_pairs)
     assert recall >= 0.9, f"LSH recall {recall:.3f} below 0.9"
+
+
+def test_ivf_indexed_partition_pruning(spark, emb, tmp_path):
+    """The materialized IVF index must (a) return the same top-k as the
+    in-memory k-means IVF path, and (b) scan ONLY the probed cells —
+    the cell predicate must reach PartitionFilters (scan cost O(probed
+    cells) at any scale)."""
+    from moogle_spark.simsearch import ivf_index_write, ivf_search_indexed, ivf_topk_kmeans
+
+    sdf, pdf = emb
+    path = str(tmp_path / "ivf")
+    ivf_index_write(sdf, path, n_cells=6, iters=3)
+    q = [float(np.float32(x)) for x in pdf.iloc[3]["embedding"]]
+    got = ivf_search_indexed(spark, path, q, k=5, nprobe=2)
+    want = ivf_topk_kmeans(sdf, q, k=5, n_cells=6, iters=3, nprobe=2).toPandas()
+    got_pd = got.toPandas()
+    assert list(got_pd["vec_id"]) == list(want["vec_id"])
+    assert list(got_pd["cosine"]) == list(want["cosine"])
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    # the probe scan actually touches only the 2 probed cells' files
+    # (inputFiles() ignores partition filters, so count the files rows
+    # were really read from)
+    from pyspark.sql import functions as F
+
+    vecs = spark.read.parquet(path + "/vectors")
+    full_n = vecs.select(F.input_file_name()).distinct().count()
+    pruned_n = (
+        ivf_search_indexed(spark, path, q, k=10**6, nprobe=2)
+        .select(F.input_file_name())
+        .distinct()
+        .count()
+    )
+    assert pruned_n < full_n, f"scanned {pruned_n} of {full_n} files"
