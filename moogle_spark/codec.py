@@ -89,10 +89,15 @@ def varint_encode(values: np.ndarray) -> bytes:
 
 def varint_decode(buf: bytes, count: int) -> np.ndarray:
     """Decode `count` LEB128 varints. Vectorized: finds terminator bytes,
-    groups 7-bit chunks by output index with shift-weighted summation."""
+    groups 7-bit chunks by output index with shift-weighted summation.
+    Fast path: when every varint is one byte (len == count — the common
+    case for tf/delta/doc-length streams, where most values are < 128)
+    the bytes ARE the values and decode is a single widening copy."""
     if count == 0:
         return np.zeros(0, dtype=np.int64)
     raw = np.frombuffer(buf, dtype=np.uint8)
+    if raw.size == count:
+        return raw.astype(np.int64)
     is_last = (raw & 0x80) == 0
     out_idx = np.zeros(raw.shape, dtype=np.int64)
     out_idx[1:] = np.cumsum(is_last)[:-1]
