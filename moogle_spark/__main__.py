@@ -1,0 +1,124 @@
+"""Cluster job entry point — the north_star's "ships via spark-submit
+--py-files" surface.  Two invocation styles, same code path:
+
+  local:    python -m moogle_spark build --input docs.parquet --warehouse /wh
+  cluster:  spark-submit --py-files moogle_spark.zip \
+                $(python -c 'import moogle_spark.__main__ as m; print(m.__file__)') \
+                build --input s3://bucket/docs --warehouse s3://bucket/wh
+
+Unlike session.get_spark (which pins local[N] for the sandbox), this
+entry inherits the submitted master/executor topology untouched and only
+sets runtime-modifiable SQL defaults when the submitter didn't.
+
+Commands:
+  build   --input PATH --warehouse PATH [--shards N] [--incremental]
+          [--upsert]
+  search  --warehouse PATH --query STR [--k N] [--page N]
+          [--mode bmw|exhaustive] [--phrase] [--fuzzy] [--enrich]
+  expire  --warehouse PATH [--ttl SECONDS]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _cluster_session():
+    import os
+
+    from pyspark.sql import SparkSession
+
+    builder = SparkSession.builder.appName("moogle_spark_job")
+    try:
+        # under spark-submit the master/executor topology is already
+        # configured — inherit it untouched
+        spark = builder.getOrCreate()
+    except Exception:
+        # bare `python -m moogle_spark`: fall back to local mode
+        spark = builder.master(
+            os.environ.get("MOOGLE_MASTER", "local[8]")
+        ).getOrCreate()
+    for key, val in [
+        ("spark.sql.adaptive.enabled", "true"),
+        ("spark.sql.adaptive.coalescePartitions.enabled", "true"),
+        ("spark.sql.adaptive.skewJoin.enabled", "true"),
+        ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+        ("spark.sql.session.timeZone", "UTC"),
+    ]:
+        try:
+            spark.conf.set(key, spark.conf.get(key, val))
+        except Exception:  # immutable at runtime on some builds — keep going
+            pass
+    return spark
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="moogle_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build (or incrementally refresh) the index")
+    b.add_argument("--input", required=True, help="parquet of (repo,path,commit,lang,content)")
+    b.add_argument("--warehouse", required=True)
+    b.add_argument("--shards", type=int, default=None)
+    b.add_argument("--incremental", action="store_true",
+                   help="staleness-gated: unchanged docs skip the tokenizer")
+    b.add_argument("--upsert", action="store_true",
+                   help="with --incremental: merge into the existing corpus "
+                        "instead of replacing it")
+
+    s = sub.add_parser("search", help="query a built index")
+    s.add_argument("--warehouse", required=True)
+    s.add_argument("--query", required=True)
+    s.add_argument("--k", type=int, default=20)
+    s.add_argument("--page", type=int, default=1)
+    s.add_argument("--mode", choices=["bmw", "exhaustive"], default="bmw")
+    s.add_argument("--phrase", action="store_true")
+    s.add_argument("--fuzzy", action="store_true")
+    s.add_argument("--enrich", action="store_true")
+
+    e = sub.add_parser("expire", help="sweep abandoned staging dirs (S8 TTL)")
+    e.add_argument("--warehouse", required=True)
+    e.add_argument("--ttl", type=float, default=3600.0)
+
+    args = ap.parse_args(argv)
+    spark = _cluster_session()
+
+    if args.cmd == "build":
+        from .build import build_index, incremental_build
+
+        docs = spark.read.parquet(args.input)
+        if args.incremental:
+            info = incremental_build(
+                spark, docs, args.warehouse, n_shards=args.shards,
+                mode="upsert" if args.upsert else "full",
+            )
+        else:
+            info = build_index(spark, docs, args.warehouse, n_shards=args.shards)
+        print(
+            f"BUILD_OK n_docs={info.n_docs} shards={info.n_shards} "
+            f"run={info.stages_run} skipped={info.stages_skipped}"
+        )
+    elif args.cmd == "search":
+        from .query import SearchEngine
+
+        eng = SearchEngine(spark, args.warehouse)
+        if args.phrase:
+            out = eng.search_phrase(args.query, k=args.k, enrich=args.enrich)
+        else:
+            out = eng.search(
+                args.query, k=args.k, mode=args.mode, enrich=args.enrich,
+                fuzzy=args.fuzzy, page=args.page,
+            )
+        for row in out.collect():
+            print(row.asDict())
+    elif args.cmd == "expire":
+        from .tables import Warehouse
+
+        removed = Warehouse(args.warehouse).expire_stale_staging(args.ttl)
+        print(f"EXPIRED {removed}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
