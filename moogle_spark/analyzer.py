@@ -83,8 +83,23 @@ def tokenize_doc(content: str) -> list[str]:
 
 
 def tokenize_query(q: str) -> list[str]:
-    """Query-mode analyzer (QuerySearchController.php:248-249 semantics)."""
-    return q.replace("+", " ").lower().split()
+    """Query-mode analyzer (QuerySearchController.php:248-249 semantics):
+    '+' -> ' ', lowercase, whitespace split — FROZEN for ASCII words
+    (golden hashes depend on it).
+
+    Deliberate deviation for non-ASCII words: the reference's NLTK
+    indexer keeps a unicode word whole, so its raw query lookup matches;
+    OUR doc analyzer sub-splits on [A-Za-z0-9_] runs, so a raw unicode
+    query word ('héllo') could never match its own indexed form
+    ('h', 'llo').  Such words are therefore re-tokenized with the doc
+    analyzer — pure-ASCII queries are byte-for-byte unchanged."""
+    out: list[str] = []
+    for w in q.replace("+", " ").lower().split():
+        if w.isascii():
+            out.append(w)
+        else:
+            out.extend(tokenize_doc(w))
+    return out
 
 
 def term_freqs(content: str) -> dict[str, int]:

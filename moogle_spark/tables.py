@@ -168,6 +168,19 @@ class Warehouse:
     def read(self, spark: SparkSession, name: str) -> DataFrame:
         if not self.is_committed(name):
             raise FileNotFoundError(f"table {name} not committed in {self.root}")
+        # read with the schema recorded at commit time: a legitimately
+        # EMPTY table (e.g. an empty-corpus build) has no parquet files
+        # to infer from, and schema-by-manifest also keeps reads stable
+        # if file-level schema evolution ever diverges
+        schema_json = self.manifest(name).get("schema", "")
+        if schema_json.startswith("{"):
+            try:
+                from pyspark.sql.types import StructType
+
+                st = StructType.fromJson(json.loads(schema_json))
+                return spark.read.schema(st).parquet(self.path(name))
+            except Exception:
+                pass  # unparseable/legacy manifest -> fall back to inference
         return spark.read.parquet(self.path(name))
 
     # ---- lineage -------------------------------------------------------
