@@ -67,3 +67,45 @@ def test_decode_positions_flat_matches_listform():
     want = np.concatenate(codec.decode_positions(buf, len(per_doc), total))
     got = codec.decode_positions_flat(buf, tfs, total)
     np.testing.assert_array_equal(got, want)
+
+
+def test_varint_u32_u64_path_boundary():
+    """The encoder picks a uint32 fast path when max(values) fits 32
+    bits; values straddling that boundary (and the int64 extremes) must
+    round-trip identically through either path."""
+    import numpy as np
+
+    from moogle_spark import codec
+
+    cases = [
+        np.array([0], dtype=np.int64),
+        np.array([0, 1, 127, 128, 129], dtype=np.int64),               # 1->2 byte edge
+        np.array([0xFFFFFFFF], dtype=np.int64),                        # u32 path max
+        np.array([0xFFFFFFFF + 1], dtype=np.int64),                    # first u64 value
+        np.array([0, 0xFFFFFFFF, 2**62, 2**63 - 1], dtype=np.int64),   # u64 extremes
+        np.array([2**35, 5, 0, 2**50 + 7], dtype=np.int64),
+        np.arange(0, 300, dtype=np.int64) * 127,                       # mixed widths
+    ]
+    for vals in cases:
+        buf, lens = codec.varint_encode_with_lens(vals)
+        assert int(lens.sum()) == len(buf)
+        out = codec.varint_decode(buf, len(vals))
+        np.testing.assert_array_equal(out, vals)
+
+
+def test_varint_single_byte_fast_path_exact():
+    """All-sub-128 streams hit the len==count decode fast path; a single
+    129 in the stream must fall back to the general path — same values
+    either way."""
+    import numpy as np
+
+    from moogle_spark import codec
+
+    fast = np.arange(128, dtype=np.int64)
+    buf, _ = codec.varint_encode_with_lens(fast)
+    assert len(buf) == 128  # truly one byte per value
+    np.testing.assert_array_equal(codec.varint_decode(buf, 128), fast)
+    slow = np.append(fast, 129)
+    buf2, _ = codec.varint_encode_with_lens(slow)
+    assert len(buf2) == 130
+    np.testing.assert_array_equal(codec.varint_decode(buf2, 129), slow)
