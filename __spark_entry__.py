@@ -573,6 +573,7 @@ def _pages(spark, sf_dir):
         F.lit('<a href="/rooted/'), s(i), F.lit('">r</a>'),
         F.lit('<a href="rel'), s(i), F.lit('.html">l</a>'),
         F.lit('<a href="https://ext.example/abs'), s(i), F.lit('">e</a>'),
+        F.lit('<a href="../up'), s(i), F.lit('.html">u</a>'),
         F.when(
             i % 5 == 0, F.concat(F.lit('<a href="bäd'), s(i), F.lit('">n</a>'))
         ).otherwise(F.lit("")),
@@ -909,17 +910,22 @@ _PAGES = (
     "'<a href=\"/rooted/' || doc_id || '\">r</a>' || "
     "'<a href=\"rel' || doc_id || '.html\">l</a>' || "
     "'<a href=\"https://ext.example/abs' || doc_id || '\">e</a>' || "
+    "'<a href=\"../up' || doc_id || '.html\">u</a>' || "
     "CASE WHEN doc_id % 5 = 0 THEN '<a href=\"bäd' || doc_id || '\">n</a>' ELSE '' END || "
     "'<img src=\"img' || doc_id || '.png\" alt=\"alt ' || doc_id || '\"/>' || "
     "'<p>first para ' || doc_id || '</p><p>second [strip ' || doc_id || '] para</p>' || "
     "'</body></html>' AS html FROM documents)"
 )
 
-_RESOLVE = (
+_RESOLVE_JOIN = (
     "CASE WHEN regexp_matches(href, '^https?://') THEN href "
     "WHEN href LIKE '/%' THEN regexp_extract(url, '^(https?://[^/]+)', 1) || href "
     "ELSE regexp_replace(url, '[^/]*$', '') || href END"
 )
+# dot-segment collapse, mirroring htmlops.resolve_url pass-for-pass
+_RESOLVE = f"regexp_replace({_RESOLVE_JOIN}, '/\\./', '/', 'g')"
+for _ in range(4):
+    _RESOLVE = f"regexp_replace({_RESOLVE}, '/[^/]+/\\.\\./', '/', 'g')"
 
 
 def oracle_sql() -> dict[str, str]:

@@ -38,17 +38,24 @@ def _meta_re(prop: str) -> str:
 
 def resolve_url(base: Column, href: Column) -> Column:
     """The reference's relative-link resolution
-    (get_urls_from_html.go:61-104), over a base of form
-    scheme://host/dir/page: absolute http(s) hrefs pass through,
-    '/rooted' joins scheme://host, anything else joins the base
-    directory.  Fragments/queries are the caller's concern (F2)."""
+    (get_urls_from_html.go:61-104 via net/url.ResolveReference), over a
+    base of form scheme://host/dir/page: absolute http(s) hrefs pass
+    through, '/rooted' joins scheme://host, anything else joins the base
+    directory; then RFC-3986 dot segments collapse ('/./' removal and up
+    to 4 levels of '/seg/../').  The collapse uses only lookaround-free
+    regexes so the DuckDB (RE2) oracle applies the identical passes.
+    Fragments/queries are the caller's concern (F2)."""
     scheme_host = F.regexp_extract(base, r"^(https?://[^/]+)", 1)
     base_dir = F.regexp_replace(base, r"[^/]*$", "")
-    return (
+    joined = (
         F.when(href.rlike("^https?://"), href)
         .when(href.startswith("/"), F.concat(scheme_host, href))
         .otherwise(F.concat(base_dir, href))
     )
+    out = F.regexp_replace(joined, r"/\./", "/")
+    for _ in range(4):  # nested ../.. resolves one level per pass
+        out = F.regexp_replace(out, r"/[^/]+/\.\./", "/")
+    return out
 
 
 def extract_links(

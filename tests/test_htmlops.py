@@ -16,6 +16,8 @@ def pages(spark):
             '<meta name="description" content="plain desc"/></head>'
             '<body><a href="/rooted/x">r</a><a href="rel.html">l</a>'
             '<a href="https://ext.example/abs">e</a><a href="bäd">n</a>'
+            '<a href="../parent.html">p</a><a href="./same.html">s</a>'
+            '<a href="deep/x/../y.html">d</a>'
             '<img src="i.png" alt="an image"/>'
             "<p>first para</p><p>second [strip me] para</p></body></html>",
         ),
@@ -37,6 +39,9 @@ def test_extract_links_resolves_and_skips_nonascii(spark, pages):
         "https://h.example/rooted/x",          # rooted
         "https://h.example/dir/rel.html",      # relative -> base dir
         "https://ext.example/abs",             # absolute passes through
+        "https://h.example/parent.html",       # ../ collapses out of dir
+        "https://h.example/dir/same.html",     # ./ stripped
+        "https://h.example/dir/deep/y.html",   # interior seg/../ collapse
     }  # "bäd" (non-ASCII) skipped — reference drops it
 
 
