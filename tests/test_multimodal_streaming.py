@@ -166,3 +166,27 @@ def test_filter_valid_images(spark):
     )
     got = filter_valid_images(m).select("asset_id").toPandas()
     assert sorted(got["asset_id"]) == [1, 6]
+
+
+def test_real_features_into_ann(spark):
+    """decode -> fixed-width features -> ANN, no fake path anywhere: the
+    real-decoded feature vectors flow into brute-force cosine top-k, and
+    an asset's nearest neighbor by content histogram is itself."""
+    from moogle_spark.multimodal import extract_real_features, synth_encoded_media
+    from moogle_spark.simsearch import brute_force_topk
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 31)], "doc_id long")
+    media = synth_encoded_media(docs, limit=30)
+    feats = extract_real_features(media)
+    pdf = feats.toPandas()
+    assert len(pdf) == 30
+    assert all(len(f) == 16 for f in pdf["features"])
+    assert all(abs(sum(f) - 1.0) < 1e-9 for f in pdf["features"])  # density
+    emb = feats.select(
+        feats.asset_id.alias("vec_id"),
+        feats.modality.alias("label"),
+        feats.features.alias("embedding"),
+    )
+    q = [float(x) for x in pdf[pdf["asset_id"] == 2]["features"].iloc[0]]
+    top = brute_force_topk(emb, q, k=3).toPandas()
+    assert top.iloc[0]["vec_id"] == 2 and top.iloc[0]["cosine"] == 1.0
