@@ -920,6 +920,7 @@ _PAGES = (
 _RESOLVE_JOIN = (
     "CASE WHEN regexp_matches(href, '^https?://') THEN href "
     "WHEN href LIKE '/%' THEN regexp_extract(url, '^(https?://[^/]+)', 1) || href "
+    "WHEN regexp_matches(url, '^https?://[^/]+$') THEN url || '/' || href "
     "ELSE regexp_replace(url, '[^/]*$', '') || href END"
 )
 # dot-segment collapse, mirroring htmlops.resolve_url pass-for-pass

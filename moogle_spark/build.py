@@ -287,6 +287,10 @@ def incremental_build(
     if mode not in ("full", "upsert"):
         raise ValueError(f"mode={mode!r} must be 'full' or 'upsert'")
     wh = warehouse if isinstance(warehouse, Warehouse) else Warehouse(warehouse)
+    # finish a promote interrupted by a crash: a committed analyzed_next
+    # is always the newer state (it only exists mid-swap)
+    if wh.is_committed("analyzed_next"):
+        wh.promote("analyzed_next", "analyzed")
     if not (
         wh.is_committed("analyzed")
         and wh.manifest("analyzed").get("format_version") == FORMAT_VERSION
@@ -358,7 +362,11 @@ def incremental_build(
     analyzed_new = changed.select(*keys, "lang", "content").mapInPandas(
         analyze_only, tok_schema
     )
-    pre = reused.unionByName(analyzed_new)
+    # persist BEFORE the range repartition: repartitionByRange runs a
+    # separate range-boundary sampling job over its input, which would
+    # otherwise re-execute the tokenizer (and the sha anti-joins) a
+    # second time — doubling exactly the cost the gate exists to save
+    pre = reused.unionByName(analyzed_new).persist(StorageLevel.DISK_ONLY)
 
     # ---- doc_id reassignment: the SAME two-pass global-sorted-rank
     # protocol as _stage_analyzed, minus the tokenizer — cheap relative
@@ -406,9 +414,16 @@ def incremental_build(
         )
 
     analyzed = srt.mapInPandas(assign, ANALYZED_SCHEMA)
+    # write to analyzed_next, then promote: Warehouse.write rmtree's its
+    # target first, so writing `analyzed` in place would destroy the
+    # only copy of the committed corpus while the job that REBUILDS it
+    # is still reading from caches of it — a kill (or cache-block loss)
+    # mid-write would lose the index.  The promote is a directory
+    # rename; an interrupted promote is finished at the next
+    # incremental_build (committed analyzed_next wins).
     wh.write(
         analyzed,
-        "analyzed",
+        "analyzed_next",
         stage="analyzed",
         partition_by=["shard"],
         meta={"n_docs": n_docs, "n_shards": shards, "shard_size": shard_size},
@@ -417,6 +432,8 @@ def incremental_build(
         },
     )
     srt.unpersist()
+    pre.unpersist()
+    wh.promote("analyzed_next", "analyzed")
     wh.append_lineage_rows("analyzed", list(lin_acc.value.values()))
     wh.append_lineage_rows("incremental_tokenize", list(tok_acc.value.values()))
     t_analyzed = round(_time.time() - t0, 2)

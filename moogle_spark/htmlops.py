@@ -46,7 +46,12 @@ def resolve_url(base: Column, href: Column) -> Column:
     regexes so the DuckDB (RE2) oracle applies the identical passes.
     Fragments/queries are the caller's concern (F2)."""
     scheme_host = F.regexp_extract(base, r"^(https?://[^/]+)", 1)
-    base_dir = F.regexp_replace(base, r"[^/]*$", "")
+    # a path-less base ('https://host.example') must resolve relatives
+    # against 'https://host.example/' — the last-segment strip would
+    # otherwise eat the hostname itself (the '/' it finds is in '//')
+    base_dir = F.when(
+        base.rlike("^https?://[^/]+$"), F.concat(base, F.lit("/"))
+    ).otherwise(F.regexp_replace(base, r"[^/]*$", ""))
     joined = (
         F.when(href.rlike("^https?://"), href)
         .when(href.startswith("/"), F.concat(scheme_host, href))

@@ -260,8 +260,10 @@ def decode_stats(media: DataFrame) -> DataFrame:
                 out["height"].append(h)
                 out["n_vals"].append(int(vals.size))
                 out["sum_val"].append(int(vals.sum()))
-                out["min_val"].append(int(vals.min()))
-                out["max_val"].append(int(vals.max()))
+                # legitimately empty assets (0-sample WAV) get 0/0, not
+                # a zero-size-reduction crash that kills the whole task
+                out["min_val"].append(int(vals.min()) if vals.size else 0)
+                out["max_val"].append(int(vals.max()) if vals.size else 0)
             yield pd.DataFrame(out)
 
     return media.select("asset_id", "modality", "payload").mapInPandas(
@@ -269,12 +271,20 @@ def decode_stats(media: DataFrame) -> DataFrame:
     )
 
 
+REAL_FEATURES_SCHEMA = (
+    "asset_id long, modality string, n_vals long, features array<double>"
+)
+
+
 def extract_real_features(media: DataFrame) -> DataFrame:
     """REAL-decode feature extraction: parse each payload with the numpy
     container readers and emit a fixed FEATURE_DIM-bin value histogram
     (pixels over [0,256); samples shifted from [-32768,32768) to the
-    same range) — a true fixed-width embedding over decoded CONTENT (not
-    payload bytes), ready for simsearch.brute_force_topk / IVF."""
+    same range) — a true fixed-width embedding over decoded CONTENT.
+    The count column is ``n_vals`` (decoded values), deliberately NOT
+    the ``n_bytes`` of extract_features' payload-byte semantics — the
+    two counts differ (headers, padding, 2-byte samples) and silently
+    sharing a name would mislead size-based consumers."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -291,13 +301,13 @@ def extract_real_features(media: DataFrame) -> DataFrame:
                 {
                     "asset_id": pdf["asset_id"],
                     "modality": pdf["modality"],
-                    "n_bytes": nvals,
+                    "n_vals": nvals,
                     "features": feats,
                 }
             )
 
     return media.select("asset_id", "modality", "payload").mapInPandas(
-        run, FEATURES_SCHEMA
+        run, REAL_FEATURES_SCHEMA
     )
 
 

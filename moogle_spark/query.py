@@ -129,6 +129,8 @@ class SearchEngine:
         retrieval (exact hits rank first, so correctly-spelled words are
         untouched).  The engine's dictionary is term_stats (every indexed
         term), already cached at init."""
+        if page < 1:
+            raise ValueError(f"page={page} — pagination is 1-based")
         terms = sorted(set(tokenize_query(query)))
         if fuzzy and terms:
             from .fuzzy import rewrite_query
@@ -339,13 +341,24 @@ def _make_phrase_scorer(terms_ordered: list[str], idf: dict[str, float], avgdl: 
             t_docs[t] = np.concatenate(dc)
             t_tfs[t] = np.concatenate(tc)
             t_pos[t] = np.concatenate(pc)
-        # composite key doc*M + pos folds the whole phrase walk into
-        # vectorized sorted-set intersections across ALL candidate docs
-        # at once (M > max pos + 1, so pos+1 never crosses a doc)
+        # composite key (doc - dmin)*M + pos folds the whole phrase walk
+        # into vectorized sorted-set intersections across ALL candidate
+        # docs at once (M > max pos + 1, so pos+1 never crosses a doc).
+        # Docs are REBASED to the shard-local candidate range so the key
+        # stays far from int64 even at 10^12 global doc_ids; the guard
+        # is unreachable for any real shard but turns a silent wrap into
+        # a loud error.
         M = int(max(p.max() for p in t_pos.values() if p.size)) + 2
+        dmin = int(cands.min())
+        span = int(cands.max()) - dmin + 1
+        if span * M >= 2**62:
+            raise OverflowError(
+                f"phrase composite key would overflow: doc span {span} x "
+                f"position range {M} — re-shard the index"
+            )
         keys: dict[str, np.ndarray] = {}
         for t in uniq_sorted:
-            kk = t_docs[t].repeat(t_tfs[t]) * M + t_pos[t]
+            kk = (t_docs[t].repeat(t_tfs[t]) - dmin) * M + t_pos[t]
             kk.sort()  # runs may arrive out of doc order
             keys[t] = kk
         occ = keys[terms_ordered[0]]
@@ -353,7 +366,7 @@ def _make_phrase_scorer(terms_ordered: list[str], idf: dict[str, float], avgdl: 
             occ = np.intersect1d(occ + 1, keys[t], assume_unique=True)
             if occ.size == 0:
                 return pd.DataFrame(columns=cols)
-        docs_a, matches_a = np.unique(occ // M, return_counts=True)
+        docs_a, matches_a = np.unique(occ // M + dmin, return_counts=True)
         # vectorized BM25 over the phrase's distinct terms in ascending
         # term order — elementwise identical to the old per-doc loop
         dl_docs = np.concatenate(dl_doc_chunks)

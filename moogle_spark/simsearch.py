@@ -38,6 +38,16 @@ def cosine_col(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _carry_cols(df: DataFrame, id_col: str) -> list:
+    """id column plus 'label' when the frame has one — the similarity
+    operators must not require labels (unlabeled corpora are the primary
+    ANN use case); label is carried through only as a convenience."""
+    cols = [F.col(id_col)]
+    if "label" in df.columns:
+        cols.append(F.col("label"))
+    return cols
+
+
 def brute_force_topk(
     embeddings: DataFrame, query_vec: list[float], k: int = 10, id_col: str = "vec_id"
 ) -> DataFrame:
@@ -47,8 +57,7 @@ def brute_force_topk(
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         embeddings.select(
-            F.col(id_col),
-            "label",
+            *_carry_cols(embeddings, id_col),
             F.round(cosine_col(F.col("embedding"), q), 6).alias("cosine"),
         )
         .orderBy(F.desc("cosine"), F.asc(id_col))
@@ -227,8 +236,7 @@ def ivf_topk_kmeans(
     )
     return (
         cand.select(
-            F.col(id_col),
-            "label",
+            *_carry_cols(embeddings, id_col),
             F.round(cosine_col(F.col("embedding"), q), 6).alias("cosine"),
         )
         .orderBy(F.desc("cosine"), F.asc(id_col))
@@ -322,8 +330,7 @@ def ivf_search_indexed(
     vecs = spark.read.parquet(f"{path}/vectors").filter(F.col("cell").isin(probe))
     return (
         vecs.select(
-            F.col(id_col),
-            "label",
+            *_carry_cols(vecs, id_col),
             F.round(cosine_col(F.col("embedding"), q), 6).alias("cosine"),
         )
         .orderBy(F.desc("cosine"), F.asc(id_col))

@@ -134,6 +134,19 @@ class Warehouse:
             os.fsync(f.fileno())
         os.replace(tmp, os.path.join(p, MANIFEST))
 
+    def promote(self, src: str, dst: str) -> None:
+        """Atomically-enough replace committed table ``dst`` with
+        committed table ``src`` (a directory rename).  The crash window
+        between the rmtree and the rename is recoverable: ``src`` still
+        exists WITH its manifest, so a caller that finds a committed
+        ``src`` can simply finish the promote — used by
+        incremental_build so a kill mid-refresh never destroys the only
+        copy of the previous index."""
+        if not self.is_committed(src):
+            raise FileNotFoundError(f"cannot promote uncommitted table {src}")
+        shutil.rmtree(self.path(dst), ignore_errors=True)
+        os.rename(self.path(src), self.path(dst))
+
     def expire_stale_staging(self, ttl_seconds: float = 3600.0) -> list[str]:
         """S8 — the reference's 1-hour TTL on staged image data
         (image-api image_controller.go:37, ``pipeline.Expire(imageKey,

@@ -50,3 +50,19 @@ def test_unicode_and_null_content(spark, tmp_path):
     # null-content doc exists with doc_len 0 and is unsearchable but safe
     ds = eng.doc_stats.filter(F.col("path") == "b").collect()
     assert len(ds) == 1 and ds[0]["doc_len"] == 0
+
+
+def test_page_zero_raises(spark, tmp_path):
+    from moogle_spark.build import build_index
+    from moogle_spark.corpus import generate_docs
+    from moogle_spark.query import SearchEngine
+
+    import pytest
+
+    wh = str(tmp_path / "whp")
+    build_index(spark, generate_docs(spark, 30), wh)
+    eng = SearchEngine(spark, wh, cache=False)
+    with pytest.raises(ValueError, match="1-based"):
+        eng.search("hotterm0", k=5, page=0)
+    with pytest.raises(ValueError, match="1-based"):
+        eng.search("hotterm0", k=5, page=-1)

@@ -26,6 +26,12 @@ def pages(spark):
             "<html><head><title>only Title</title></head>"
             "<body><p>lone</p></body></html>",
         ),
+        (
+            # PATH-LESS base: relatives must resolve against host + '/'
+            "https://root.example",
+            '<html><body><a href="style.css">c</a>'
+            '<a href="/abs.html">a</a><p>r</p></body></html>',
+        ),
     ]
     return spark.createDataFrame(rows, "url string, html string")
 
@@ -43,6 +49,11 @@ def test_extract_links_resolves_and_skips_nonascii(spark, pages):
         "https://h.example/dir/same.html",     # ./ stripped
         "https://h.example/dir/deep/y.html",   # interior seg/../ collapse
     }  # "bäd" (non-ASCII) skipped — reference drops it
+    rootless = set(got[got["url"] == "https://root.example"]["link"])
+    assert rootless == {
+        "https://root.example/style.css",  # NOT https://style.css
+        "https://root.example/abs.html",
+    }
 
 
 def test_extract_images(spark, pages):

@@ -190,3 +190,19 @@ def test_real_features_into_ann(spark):
     q = [float(x) for x in pdf[pdf["asset_id"] == 2]["features"].iloc[0]]
     top = brute_force_topk(emb, q, k=3).toPandas()
     assert top.iloc[0]["vec_id"] == 2 and top.iloc[0]["cosine"] == 1.0
+
+
+def test_decode_stats_empty_wav(spark):
+    """A zero-sample WAV is a legal container: stats row with n_vals=0,
+    no zero-size-reduction crash."""
+    import pandas as pd
+
+    from moogle_spark.multimodal import decode_stats, encode_wav
+
+    buf = encode_wav(np.array([], dtype=np.int16))
+    media = spark.createDataFrame(
+        pd.DataFrame({"asset_id": [1], "modality": ["audio"], "payload": [buf]}),
+        "asset_id long, modality string, payload binary",
+    )
+    got = decode_stats(media).toPandas()
+    assert got.iloc[0]["n_vals"] == 0 and got.iloc[0]["sum_val"] == 0
