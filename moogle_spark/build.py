@@ -317,6 +317,28 @@ def incremental_build(
     else:
         reused = old.join(changed.select(*keys), keys, "left_anti")
 
+    # TRUE NO-OP short-circuit (the daily-cron case): nothing changed,
+    # nothing added, and — in full mode — nothing removed, so the
+    # committed warehouse is already the answer; skip the doc_id
+    # reassignment AND the downstream stage rebuilds entirely.  Three
+    # cheap JVM count jobs decide it.
+    n_changed = changed.count()
+    if n_changed == 0:
+        n_old = old.count()
+        unchanged_corpus = (
+            mode == "upsert"
+            or (incoming.count() == n_old and reused.count() == n_old)
+        )
+        if unchanged_corpus:
+            man = wh.manifest("analyzed")
+            return BuildInfo(
+                man["n_docs"], man["n_shards"], man["shard_size"],
+                stages_run=[],
+                stages_skipped=["analyzed", "doc_stats", "term_stats",
+                                "corpus_stats", "postings", "doc_lens"],
+                stage_secs={},
+            )
+
     sc = spark.sparkContext
     tok_acc = sc.accumulator({}, _LineageAccParam())
 

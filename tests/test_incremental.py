@@ -79,7 +79,9 @@ def test_incremental_noop_when_nothing_changed(spark, tmp_path):
     wh = str(tmp_path / "wh")
     build_index(spark, docs, wh)
     fp1 = _fingerprint(spark, wh)
-    incremental_build(spark, docs, wh)
+    info = incremental_build(spark, docs, wh)
+    assert info.stages_run == []  # true no-op: nothing rebuilt at all
+    assert len(info.stages_skipped) == 6
     assert _tokenized_since(spark, wh, 0) == 0  # zero docs re-tokenized
     assert _fingerprint(spark, wh) == fp1
 
