@@ -924,7 +924,7 @@ _RESOLVE_JOIN = (
     "ELSE regexp_replace(url, '[^/]*$', '') || href END"
 )
 # dot-segment collapse, mirroring htmlops.resolve_url pass-for-pass
-_RESOLVE = f"regexp_replace({_RESOLVE_JOIN}, '/\\./', '/', 'g')"
+_RESOLVE = f"regexp_replace({_RESOLVE_JOIN}, '(?:/\\.)+/', '/', 'g')"
 for _ in range(4):
     _RESOLVE = f"regexp_replace({_RESOLVE}, '/[^/]+/\\.\\./', '/', 'g')"
 

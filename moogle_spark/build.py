@@ -60,6 +60,7 @@ from __future__ import annotations
 import hashlib
 import math
 import os
+import uuid
 from collections.abc import Iterator
 from dataclasses import dataclass
 
@@ -121,6 +122,30 @@ POSTINGS_SCHEMA = (
 DOC_LENS_SCHEMA = "shard int, first_doc long, n_docs int, doc_lens binary"
 
 
+DOWNSTREAM_STAGES = ["doc_stats", "term_stats", "corpus_stats", "postings", "doc_lens"]
+
+
+def _analyzed_build_id(wh: Warehouse) -> str:
+    """Identity token of the committed analyzed table.  Every downstream
+    stage records it as ``analyzed_ref`` in its own manifest, so a
+    downstream table built from a DIFFERENT analyzed (stale after an
+    interrupted incremental promote, or a crash between promote and the
+    downstream rebuild) is detectably out of date instead of being
+    silently resumed into.  Falls back to committed_at for manifests
+    written before build_id existed (those downstream refs then mismatch
+    once and rebuild — the safe direction)."""
+    man = wh.manifest("analyzed")
+    return str(man.get("build_id") or man.get("committed_at"))
+
+
+def _downstream_current(wh: Warehouse, name: str) -> bool:
+    return (
+        wh.is_committed(name)
+        and wh.manifest(name).get("format_version") == FORMAT_VERSION
+        and wh.manifest(name).get("analyzed_ref") == _analyzed_build_id(wh)
+    )
+
+
 @dataclass
 class BuildInfo:
     n_docs: int
@@ -153,17 +178,28 @@ def build_index(
     per-stage commit/resume semantics are unchanged because each stage
     writes its own table + manifest atomically."""
     wh = warehouse if isinstance(warehouse, Warehouse) else Warehouse(warehouse)
+    # finish a promote interrupted by a crash (see incremental_build): a
+    # committed analyzed_next is always the newer corpus — healing it HERE
+    # too means every entry point recovers, and the analyzed_ref check
+    # below then rebuilds the (now stale) downstream stages instead of
+    # resuming into a warehouse whose postings disagree with analyzed.
+    if wh.is_committed("analyzed_next"):
+        wh.promote("analyzed_next", "analyzed")
     run: list[str] = []
     skip: list[str] = []
     stage_secs: dict[str, float] = {}
     import time as _time
 
     def stage(name: str, fn) -> None:
-        if (
+        committed = (
             not force
             and wh.is_committed(name)
             and wh.manifest(name).get("format_version") == FORMAT_VERSION
-        ):
+        )
+        if committed and name != "analyzed":
+            # downstream tables must have been built from THIS analyzed
+            committed = wh.manifest(name).get("analyzed_ref") == _analyzed_build_id(wh)
+        if committed:
             skip.append(name)
             return
         t0 = _time.time()
@@ -309,8 +345,11 @@ def incremental_build(
         "content_sha256",
         F.sha2(F.encode(F.coalesce(F.col("content"), F.lit("")), "utf-8"), 256),
     )
-    gate = keys + ["content_sha256"]
-    # changed = new key OR same key with different content
+    # lang is part of the gate: a doc whose content is unchanged but whose
+    # lang metadata changed must still be re-ingested (the reused row would
+    # otherwise carry the stale lang into doc_stats forever)
+    gate = keys + ["lang", "content_sha256"]
+    # changed = new key OR same key with different content/lang
     changed = incoming.join(old.select(*gate), gate, "left_anti")
     if mode == "full":
         reused = old.join(incoming.select(*gate), gate, "left_semi")
@@ -330,14 +369,21 @@ def incremental_build(
             or (incoming.count() == n_old and reused.count() == n_old)
         )
         if unchanged_corpus:
-            man = wh.manifest("analyzed")
-            return BuildInfo(
-                man["n_docs"], man["n_shards"], man["shard_size"],
-                stages_run=[],
-                stages_skipped=["analyzed", "doc_stats", "term_stats",
-                                "corpus_stats", "postings", "doc_lens"],
-                stage_secs={},
-            )
+            # the no-op claim is only honest if the DOWNSTREAM tables are
+            # actually present, current-format, and built from THIS
+            # analyzed (a prior run killed during the downstream rebuild
+            # or between promote and the drop loop leaves them missing or
+            # stale) — otherwise heal via build_index, which rebuilds
+            # exactly the non-current stages.
+            if all(_downstream_current(wh, t) for t in DOWNSTREAM_STAGES):
+                man = wh.manifest("analyzed")
+                return BuildInfo(
+                    man["n_docs"], man["n_shards"], man["shard_size"],
+                    stages_run=[],
+                    stages_skipped=["analyzed"] + DOWNSTREAM_STAGES,
+                    stage_secs={},
+                )
+            return build_index(spark, docs, wh, n_shards=n_shards, parallel=parallel)
 
     sc = spark.sparkContext
     tok_acc = sc.accumulator({}, _LineageAccParam())
@@ -448,7 +494,8 @@ def incremental_build(
         "analyzed_next",
         stage="analyzed",
         partition_by=["shard"],
-        meta={"n_docs": n_docs, "n_shards": shards, "shard_size": shard_size},
+        meta={"n_docs": n_docs, "n_shards": shards, "shard_size": shard_size,
+              "build_id": uuid.uuid4().hex},
         meta_fn=lambda: {
             "sum_dl": int(sum(r["posting_bytes"] for r in lin_acc.value.values()))
         },
@@ -579,7 +626,8 @@ def _stage_analyzed(
         "analyzed",
         stage="analyzed",
         partition_by=["shard"],
-        meta={"n_docs": n_docs, "n_shards": shards, "shard_size": shard_size},
+        meta={"n_docs": n_docs, "n_shards": shards, "shard_size": shard_size,
+              "build_id": uuid.uuid4().hex},
         meta_fn=lambda: {
             "sum_dl": int(sum(r["posting_bytes"] for r in lin_acc.value.values()))
         },
@@ -617,7 +665,8 @@ def _stage_doc_stats(spark: SparkSession, analyzed: DataFrame, wh: Warehouse) ->
             F.transform(topk, lambda e: F.struct(e["terms"].alias("key"), e["tfs"].alias("value")))
         ).alias("top_terms"),
     )
-    wh.write(ds, "doc_stats", stage="doc_stats", partition_by=["shard"], sort_by=["doc_id"])
+    wh.write(ds, "doc_stats", stage="doc_stats", partition_by=["shard"], sort_by=["doc_id"],
+             meta={"analyzed_ref": _analyzed_build_id(wh)})
     # lineage from parquet footers: per-file row counts + bytes, metadata
     # reads only — no read-back scan job (the doc-content sha rollup lives
     # on the `analyzed` stage's lineage, written by the tokenize tasks).
@@ -646,6 +695,7 @@ def _stage_term_stats(spark: SparkSession, analyzed: DataFrame, wh: Warehouse) -
         "term_stats",
         stage="term_stats",
         sort_by=["term"],
+        meta={"analyzed_ref": _analyzed_build_id(wh)},
         meta_fn=lambda: {"n_terms": int(obs.get["n_terms"])},
     )
     wh.append_lineage_rows("term_stats", wh.footer_lineage_rows("term_stats"))
@@ -663,6 +713,7 @@ def _stage_corpus_stats(spark: SparkSession, wh: Warehouse, n_docs: int) -> None
         {"n_docs": pa.int64(), "sum_dl": pa.int64(), "n_terms": pa.int64()},
         "corpus_stats",
         stage="corpus_stats",
+        meta={"analyzed_ref": _analyzed_build_id(wh)},
     )
 
 
@@ -880,7 +931,8 @@ def _stage_postings(spark: SparkSession, wh: Warehouse) -> None:
         stage="postings",
         partition_by=["shard"],
         sort_by=["term", "block_id"],
-        meta={"avgdl": avgdl, "n_docs": n_docs, "block_size": BLOCK_SIZE},
+        meta={"avgdl": avgdl, "n_docs": n_docs, "block_size": BLOCK_SIZE,
+              "analyzed_ref": _analyzed_build_id(wh)},
         # pure-Python encode seconds summed over tasks: recorded in
         # the manifest as scaling evidence (identical input => any
         # growth with parallelism measures the host's memory-bandwidth
@@ -921,4 +973,5 @@ def _stage_doc_lens(
     dl = analyzed.select("shard", "doc_id", "doc_len").groupBy("shard").applyInPandas(
         pack, DOC_LENS_SCHEMA
     )
-    wh.write(dl, "doc_lens", stage="doc_lens", sort_by=["shard"])
+    wh.write(dl, "doc_lens", stage="doc_lens", sort_by=["shard"],
+             meta={"analyzed_ref": _analyzed_build_id(wh)})

@@ -57,7 +57,10 @@ def resolve_url(base: Column, href: Column) -> Column:
         .when(href.startswith("/"), F.concat(scheme_host, href))
         .otherwise(F.concat(base_dir, href))
     )
-    out = F.regexp_replace(joined, r"/\./", "/")
+    # one-pass run collapse: '(?:/\.)+/' eats ADJACENT dot segments
+    # ('a/././b' -> 'a/b') which a plain '/\./' global replace leaves
+    # half-collapsed (the regex engine resumes after each replacement)
+    out = F.regexp_replace(joined, r"(?:/\.)+/", "/")
     for _ in range(4):  # nested ../.. resolves one level per pass
         out = F.regexp_replace(out, r"/[^/]+/\.\./", "/")
     return out

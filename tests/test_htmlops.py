@@ -132,3 +132,32 @@ def test_expire_stale_staging(tmp_path):
     assert os.path.exists(wh.path("live_stage"))
     assert os.path.exists(wh.path("lineage"))
     assert not os.path.exists(wh.path("stale_stage"))
+
+
+def test_resolve_url_adjacent_dot_segments(spark):
+    """'(?:/\\.)+/' collapses ADJACENT './' runs in one pass — the old
+    single '/\\./' global replace left 'a/././b' half-collapsed because
+    the regex engine resumes scanning after each replacement."""
+    from pyspark.sql import functions as F
+
+    from moogle_spark.htmlops import resolve_url
+
+    df = spark.createDataFrame(
+        [
+            ("https://h.example/dir/page.html", "./././x.html"),
+            ("https://h.example/dir/page.html", "a/././b.html"),
+            ("https://h.example/dir/page.html", "./x/./y.html"),
+        ],
+        "url string, href string",
+    )
+    got = [
+        r["out"]
+        for r in df.select(
+            resolve_url(F.col("url"), F.col("href")).alias("out")
+        ).collect()
+    ]
+    assert got == [
+        "https://h.example/dir/x.html",
+        "https://h.example/dir/a/b.html",
+        "https://h.example/dir/x/y.html",
+    ]

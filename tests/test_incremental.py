@@ -109,3 +109,87 @@ def test_incremental_upsert_keeps_absent_docs(spark, tmp_path):
     build_index(spark, all_docs, wh_scratch)
     assert _fingerprint(spark, wh) == _fingerprint(spark, wh_scratch)
     all_docs.unpersist()
+
+
+def test_incremental_lang_change_reingests(spark, tmp_path):
+    """lang is part of the staleness gate: a doc whose content is
+    unchanged but whose lang metadata changed must not keep the stale
+    lang in doc_stats (round-4 advice)."""
+    from moogle_spark.build import build_index, incremental_build
+    from moogle_spark.corpus import generate_docs
+    from moogle_spark.tables import Warehouse
+
+    docs_v1 = generate_docs(spark, 80)
+    target = docs_v1.orderBy("repo", "path", "commit").limit(1).collect()[0]
+    docs_v2 = docs_v1.withColumn(
+        "lang",
+        F.when(
+            (F.col("repo") == target["repo"]) & (F.col("path") == target["path"]),
+            F.lit("zig"),
+        ).otherwise(F.col("lang")),
+    )
+    wh = str(tmp_path / "wh")
+    build_index(spark, docs_v1, wh)
+    incremental_build(spark, docs_v2, wh)
+    got = (
+        Warehouse(wh)
+        .read(spark, "doc_stats")
+        .filter((F.col("repo") == target["repo"]) & (F.col("path") == target["path"]))
+        .select("lang")
+        .collect()
+    )
+    assert [r["lang"] for r in got] == ["zig"]
+
+
+def test_incremental_noop_heals_missing_downstream(spark, tmp_path):
+    """A retry after a kill during the downstream rebuild must not claim
+    a no-op while postings are missing (round-4 advice): the short-circuit
+    verifies all six tables are committed against THIS analyzed."""
+    import shutil
+
+    from moogle_spark.build import build_index, incremental_build
+    from moogle_spark.corpus import generate_docs
+    from moogle_spark.tables import Warehouse
+
+    docs = generate_docs(spark, 100)
+    wh = str(tmp_path / "wh")
+    build_index(spark, docs, wh)
+    fp = _fingerprint(spark, wh)
+    shutil.rmtree(Warehouse(wh).path("postings"))  # simulated kill window
+    info = incremental_build(spark, docs, wh)
+    assert "postings" in info.stages_run  # healed, not claimed skipped
+    assert _fingerprint(spark, wh) == fp
+
+
+def test_build_index_finishes_interrupted_promote(spark, tmp_path):
+    """A kill between rmtree(analyzed) and the rename leaves a committed
+    analyzed_next plus downstream tables built from the OLD analyzed;
+    a subsequent plain build_index must finish the promote AND rebuild
+    the stale downstream stages (analyzed_ref mismatch), not resume into
+    a warehouse whose postings disagree with analyzed."""
+    import json
+    import os
+
+    from moogle_spark.build import DOWNSTREAM_STAGES, build_index
+    from moogle_spark.corpus import generate_docs
+    from moogle_spark.tables import MANIFEST, Warehouse
+
+    docs = generate_docs(spark, 100)
+    whp = str(tmp_path / "wh")
+    wh = Warehouse(whp)
+    build_index(spark, docs, whp)
+    # simulate the crash window: analyzed gone, a NEW analyzed_next
+    # committed (fresh build_id), downstream still referencing the old id
+    os.rename(wh.path("analyzed"), wh.path("analyzed_next"))
+    mp = os.path.join(wh.path("analyzed_next"), MANIFEST)
+    man = json.load(open(mp))
+    man["build_id"] = "simulated-new-corpus"
+    json.dump(man, open(mp, "w"))
+    info = build_index(spark, docs, whp)
+    assert not wh.is_committed("analyzed_next")  # promote finished
+    assert "analyzed" in info.stages_skipped  # the recovered table is used
+    assert set(info.stages_run) == set(DOWNSTREAM_STAGES)  # all stale -> rebuilt
+    from moogle_spark.query import SearchEngine
+
+    eng = SearchEngine(spark, whp, cache=False)
+    assert eng.search("the", k=5).count() >= 0
