@@ -284,34 +284,50 @@ def _make_phrase_scorer(terms_ordered: list[str], idf: dict[str, float], avgdl: 
         if len(pdf) == 0:
             return pd.DataFrame(columns=cols)
         shard = int(pdf["shard"].iloc[0])
-        # pass 1: decode doc_ids only; remember each block's decoded ids
+        # pass 1: decode doc_ids RAREST-TERM-FIRST with block-range
+        # pre-intersection: rarity is estimated from block metadata alone
+        # (Σ n_docs — no decode), the rarest term's blocks decode fully,
+        # and every later term decodes ONLY blocks whose
+        # [first_doc, last_doc] range contains at least one surviving
+        # candidate (vectorized searchsorted against the sorted candidate
+        # set).  For a hot×hot phrase the doc-id decode volume drops from
+        # Σ df of every term to the blocks overlapping the running
+        # intersection — bounded by the rarest term's df spread, not the
+        # common term's.
         by_term = {t: g for t, g in pdf.groupby("term", sort=False)}
         if any(t not in by_term for t in uniq_sorted):
             return pd.DataFrame(columns=cols)  # a phrase term absent here
-        blk_ids: dict[str, list[np.ndarray]] = {}
-        term_docs: dict[str, np.ndarray] = {}
-        for t in uniq_sorted:
+        sizes = {t: int(by_term[t]["n_docs"].sum()) for t in uniq_sorted}
+        by_rarity = sorted(uniq_sorted, key=lambda t: (sizes[t], t))
+        # blk_dec[t]: (kept row positions in by_term[t], their decoded ids)
+        blk_dec: dict[str, tuple[np.ndarray, list[np.ndarray]]] = {}
+        cands: np.ndarray | None = None
+        for t in by_rarity:
             g = by_term[t]
+            fd = g["first_doc"].to_numpy(dtype=np.int64)
+            ld = g["last_doc"].to_numpy(dtype=np.int64)
+            if cands is None:
+                keep = np.arange(len(g))
+            else:
+                lo = np.searchsorted(cands, fd)
+                hi = np.searchsorted(cands, ld, side="right")
+                keep = np.flatnonzero(hi > lo)
+            if keep.size == 0:
+                return pd.DataFrame(columns=cols)
+            ids_col = g["doc_ids"].to_numpy()
+            nd_col = g["n_docs"].to_numpy()
             ids_list = [
-                codec.decode_doc_ids(b, int(n))
-                for b, n in zip(g["doc_ids"], g["n_docs"])
+                codec.decode_doc_ids(ids_col[i], int(nd_col[i])) for i in keep
             ]
-            blk_ids[t] = ids_list
-            term_docs[t] = (
-                np.unique(np.concatenate(ids_list))
-                if ids_list
-                else np.zeros(0, dtype=np.int64)
+            blk_dec[t] = (keep, ids_list)
+            tdocs = np.unique(np.concatenate(ids_list))
+            cands = (
+                tdocs
+                if cands is None
+                else np.intersect1d(cands, tdocs, assume_unique=True)
             )
-        # intersect rarest-first: each step shrinks the running set before
-        # the more common terms are touched
-        by_rarity = sorted(uniq_sorted, key=lambda t: (term_docs[t].size, t))
-        cands = term_docs[by_rarity[0]]
-        for t in by_rarity[1:]:
             if cands.size == 0:
-                break
-            cands = np.intersect1d(cands, term_docs[t], assume_unique=True)
-        if cands.size == 0:
-            return pd.DataFrame(columns=cols)
+                return pd.DataFrame(columns=cols)
         # pass 2: decode positions (and dls) ONLY for blocks holding a
         # survivor, keeping only the survivors' entries — as FLAT
         # (doc, pos) arrays per term (no per-doc dict, no per-doc loop)
@@ -322,9 +338,15 @@ def _make_phrase_scorer(terms_ordered: list[str], idf: dict[str, float], avgdl: 
         dl_val_chunks: list[np.ndarray] = []
         for t in uniq_sorted:
             g = by_term[t]
+            keep, ids_list = blk_dec[t]
             dc, tc, pc = [], [], []
             for ids, n, tfs_b, dls_b, pos_b, pints in zip(
-                blk_ids[t], g["n_docs"], g["tfs"], g["dls"], g["positions"], g["pos_ints"]
+                ids_list,
+                g["n_docs"].to_numpy()[keep],
+                g["tfs"].to_numpy()[keep],
+                g["dls"].to_numpy()[keep],
+                g["positions"].to_numpy()[keep],
+                g["pos_ints"].to_numpy()[keep],
             ):
                 hit = np.isin(ids, cands, assume_unique=True)
                 if not hit.any():
