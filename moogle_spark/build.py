@@ -27,8 +27,8 @@ Pipeline (SURVEY.md §3.2 rebuild; north_star stage list):
                          size and each scan partition's docs are encoded
                          in place (vectorized mapInPandas) into
                          delta+varint doc_ids/tfs/positions 128-doc
-                         blocks with per-block max tf-part (block-max
-                         metadata).  Document-sharding bounds any hot
+                         blocks with per-block (max_tf, min_dl) block-max
+                         metadata (avgdl-independent upper bounds).  Document-sharding bounds any hot
                          term's per-group postings to the shard size —
                          skew is structurally defused.
   stage 6 `doc_lens`   — per-shard dense doc_len arrays (varint); an
@@ -73,7 +73,6 @@ from pyspark.sql import functions as F
 
 from . import codec
 from .analyzer import term_freqs_positions
-from .scoring import bm25_tfpart
 from .tables import FORMAT_VERSION, Warehouse
 
 BLOCK_SIZE = 128
@@ -113,10 +112,17 @@ ANALYZED_SCHEMA = (
 # query-time scoring needs (tf, dl) per posting, so keeping dl beside tf
 # makes a posting block self-contained — no per-query join/cogroup with a
 # doc_lens table (measured: the cogroup shuffle dominated query latency).
+# max_tf/min_dl replace the old precomputed block_max_tf float: the BM25
+# tf-part is monotone increasing in tf and decreasing in dl, so
+# bm25_tfpart(max_tf, min_dl, avgdl) is a valid per-block upper bound
+# under ANY avgdl — which lets an incremental rebuild shift the corpus
+# avgdl without invalidating the block-max metadata of untouched shards
+# (a stored tfpart bound would silently under-estimate once avgdl grew,
+# breaking WAND's exactness).
 POSTINGS_SCHEMA = (
     "shard int, term string, block_id int, n_docs int, first_doc long, "
     "last_doc long, doc_ids binary, tfs binary, positions binary, "
-    "dls binary, pos_ints int, block_max_tf double"
+    "dls binary, pos_ints int, max_tf int, min_dl int"
 )
 
 DOC_LENS_SCHEMA = "shard int, first_doc long, n_docs int, doc_lens binary"
@@ -167,6 +173,7 @@ def build_index(
     n_shards: int | None = None,
     force: bool = False,
     parallel: bool = True,
+    doc_id_mode: str = "rank",
 ) -> BuildInfo:
     """Run all stages, skipping any already committed (resume).
 
@@ -176,7 +183,21 @@ def build_index(
     each job's scheduling/commit latency behind the others' compute.  Works
     identically on a cluster (FIFO scheduler backfills idle executors);
     per-stage commit/resume semantics are unchanged because each stage
-    writes its own table + manifest atomically."""
+    writes its own table + manifest atomically.
+
+    ``doc_id_mode``:
+      "rank"   — doc_id = global (repo, path, commit) sorted rank
+                 (deterministic, oracle-friendly; incremental rebuilds
+                 recompute downstream tables over the whole corpus).
+      "stable" — doc_id = shard * STRIDE + within-shard rank, shard
+                 pinned by key hash (stable.py): churn perturbs only its
+                 own shards, enabling the O(churn) shard-scoped
+                 incremental path (incremental_build dispatches to it).
+    A committed analyzed whose stored mode differs from the requested one
+    is treated as not committed (full rebuild) — the two id spaces are
+    incompatible."""
+    if doc_id_mode not in ("rank", "stable"):
+        raise ValueError(f"doc_id_mode={doc_id_mode!r} must be 'rank' or 'stable'")
     wh = warehouse if isinstance(warehouse, Warehouse) else Warehouse(warehouse)
     # finish a promote interrupted by a crash (see incremental_build): a
     # committed analyzed_next is always the newer corpus — healing it HERE
@@ -196,6 +217,10 @@ def build_index(
             and wh.is_committed(name)
             and wh.manifest(name).get("format_version") == FORMAT_VERSION
         )
+        if committed and name == "analyzed":
+            committed = (
+                wh.manifest(name).get("doc_id_mode", "rank") == doc_id_mode
+            )
         if committed and name != "analyzed":
             # downstream tables must have been built from THIS analyzed
             committed = wh.manifest(name).get("analyzed_ref") == _analyzed_build_id(wh)
@@ -208,7 +233,15 @@ def build_index(
         run.append(name)
 
     state: dict = {}
-    stage("analyzed", lambda: _stage_analyzed(spark, docs, wh, n_shards, state))
+    if doc_id_mode == "stable":
+        from .stable import _stage_analyzed_stable
+
+        stage(
+            "analyzed",
+            lambda: _stage_analyzed_stable(spark, docs, wh, n_shards),
+        )
+    else:
+        stage("analyzed", lambda: _stage_analyzed(spark, docs, wh, n_shards, state))
     analyzed = wh.read(spark, "analyzed")
     man = wh.manifest("analyzed")
     n_docs, shards, shard_size = man["n_docs"], man["n_shards"], man["shard_size"]
@@ -332,6 +365,11 @@ def incremental_build(
         and wh.manifest("analyzed").get("format_version") == FORMAT_VERSION
     ):
         return build_index(spark, docs, wh, n_shards=n_shards, parallel=parallel)
+    if wh.manifest("analyzed").get("doc_id_mode", "rank") == "stable":
+        # stable-id warehouse: the shard-scoped O(churn) path owns it
+        from .stable import incremental_build_stable
+
+        return incremental_build_stable(spark, docs, wh, mode=mode, parallel=parallel)
 
     import time as _time
 
@@ -638,7 +676,9 @@ def _stage_analyzed(
     _tick("analyzed.lineage", t)
 
 
-def _stage_doc_stats(spark: SparkSession, analyzed: DataFrame, wh: Warehouse) -> None:
+def _stage_doc_stats(
+    spark: SparkSession, analyzed: DataFrame, wh: Warehouse, dst: str = "doc_stats"
+) -> None:
     # top_terms: per-doc top MAX_INDEX_WORDS terms by tf (reference A2,
     # services/indexer/main.py:165-166) as map<string,int>.  The sort
     # comparator is expensive per-row, and truncation only matters for
@@ -665,12 +705,12 @@ def _stage_doc_stats(spark: SparkSession, analyzed: DataFrame, wh: Warehouse) ->
             F.transform(topk, lambda e: F.struct(e["terms"].alias("key"), e["tfs"].alias("value")))
         ).alias("top_terms"),
     )
-    wh.write(ds, "doc_stats", stage="doc_stats", partition_by=["shard"], sort_by=["doc_id"],
+    wh.write(ds, dst, stage="doc_stats", partition_by=["shard"], sort_by=["doc_id"],
              meta={"analyzed_ref": _analyzed_build_id(wh)})
     # lineage from parquet footers: per-file row counts + bytes, metadata
     # reads only — no read-back scan job (the doc-content sha rollup lives
     # on the `analyzed` stage's lineage, written by the tokenize tasks).
-    wh.append_lineage_rows("doc_stats", wh.footer_lineage_rows("doc_stats"))
+    wh.append_lineage_rows(dst, wh.footer_lineage_rows(dst))
 
 
 def _stage_term_stats(spark: SparkSession, analyzed: DataFrame, wh: Warehouse) -> None:
@@ -717,13 +757,14 @@ def _stage_corpus_stats(spark: SparkSession, wh: Warehouse, n_docs: int) -> None
     )
 
 
-def _stage_postings(spark: SparkSession, wh: Warehouse) -> None:
-    man = wh.manifest("analyzed")
+def _stage_postings(
+    spark: SparkSession, wh: Warehouse, src: str = "analyzed", dst: str = "postings"
+) -> None:
+    man = wh.manifest(src)
     n_docs = man["n_docs"]
-    avgdl = float(man["sum_dl"]) / float(n_docs) if n_docs else 1.0
 
     cols = ["shard", "term", "block_id", "n_docs", "first_doc", "last_doc",
-            "doc_ids", "tfs", "positions", "dls", "pos_ints", "block_max_tf"]
+            "doc_ids", "tfs", "positions", "dls", "pos_ints", "max_tf", "min_dl"]
 
     def encode_shard(pdf: pd.DataFrame) -> pd.DataFrame:
         """One encode group's docs -> its full posting-block set.
@@ -836,8 +877,8 @@ def _stage_postings(spark: SparkSession, wh: Warehouse) -> None:
         # ---- per-block stats (blocks tile postings exactly); block tf
         # totals come from the int64 prefix sums already computed for the
         # position layout (exact, no int32-overflow risk, no reduceat)
-        tfpart = bm25_tfpart(tfs, dls, avgdl)
-        bmax = np.maximum.reduceat(tfpart, bstarts)
+        bmax_tf = np.maximum.reduceat(tfs, bstarts)
+        bmin_dl = np.minimum.reduceat(dls, bstarts)
         btf_sum = out_off[bends] - out_off[bstarts]
         nd = bends - bstarts
 
@@ -866,7 +907,8 @@ def _stage_postings(spark: SparkSession, wh: Warehouse) -> None:
                     bytes(mv_dl[dl_off[s]:dl_off[e]]) for s, e in zip(bstarts, bends)
                 ],
                 "pos_ints": (nd + btf_sum).astype(np.int32),
-                "block_max_tf": bmax,
+                "max_tf": bmax_tf.astype(np.int32),
+                "min_dl": bmin_dl.astype(np.int32),
             },
             columns=cols,
         )
@@ -921,17 +963,17 @@ def _stage_postings(spark: SparkSession, wh: Warehouse) -> None:
     import time as _time
 
     t = _time.time()
-    base = wh.read(spark, "analyzed").select(
+    base = wh.read(spark, src).select(
         "shard", "doc_id", "doc_len", "terms", "tfs", "positions"
     )
     postings = base.mapInPandas(encode_partition, POSTINGS_SCHEMA)
     wh.write(
         postings,
-        "postings",
+        dst,
         stage="postings",
         partition_by=["shard"],
         sort_by=["term", "block_id"],
-        meta={"avgdl": avgdl, "n_docs": n_docs, "block_size": BLOCK_SIZE,
+        meta={"n_docs": n_docs, "block_size": BLOCK_SIZE,
               "analyzed_ref": _analyzed_build_id(wh)},
         # pure-Python encode seconds summed over tasks: recorded in
         # the manifest as scaling evidence (identical input => any
@@ -947,12 +989,13 @@ def _stage_postings(spark: SparkSession, wh: Warehouse) -> None:
     if os.environ.get("MOOGLE_STAGE_TIMING"):
         tot = sum(r["encode_ms"] for r in py_acc.value.values()) / 1000.0
         print(f"SUBSTEP postings.python_cpu_total {tot:.1f}s", flush=True)
-    wh.append_lineage_rows("postings", list(lin_acc.value.values()))
+    wh.append_lineage_rows(dst, list(lin_acc.value.values()))
     _tick("postings.lineage", t)
 
 
 def _stage_doc_lens(
-    spark: SparkSession, analyzed: DataFrame, wh: Warehouse, shard_size: int
+    spark: SparkSession, analyzed: DataFrame, wh: Warehouse, shard_size: int,
+    dst: str = "doc_lens",
 ) -> None:
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id")
@@ -973,5 +1016,7 @@ def _stage_doc_lens(
     dl = analyzed.select("shard", "doc_id", "doc_len").groupBy("shard").applyInPandas(
         pack, DOC_LENS_SCHEMA
     )
-    wh.write(dl, "doc_lens", stage="doc_lens", sort_by=["shard"],
+    # partitioned by shard so the stable-id incremental path can swap a
+    # touched shard's doc_lens partition like every other per-shard table
+    wh.write(dl, dst, stage="doc_lens", partition_by=["shard"],
              meta={"analyzed_ref": _analyzed_build_id(wh)})

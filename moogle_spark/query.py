@@ -22,7 +22,8 @@ Two scorers, both vectorized numpy inside applyInPandas:
     ascending term order (the frozen float order; bit-identical to the
     oracle).
   * bmw — block-max WAND (segment form): per-term block upper bounds
-    (idf * block_max_tf) are swept into disjoint doc-id segments; segments
+    (idf * tfpart(max_tf, min_dl, avgdl)) are swept into disjoint doc-id
+    segments; segments
     are scored in descending upper-bound order and scoring stops once the
     running top-k threshold exceeds the next segment's bound. Docs in
     skipped segments are strictly below the kth score, so the result —
@@ -48,9 +49,10 @@ from .tables import FORMAT_VERSION, Warehouse
 
 RESULT_SCHEMA = "shard int, doc_id long, score double, match_count int"
 
-# oldest postings layout this engine can score (v2 added the inline
-# per-block dls column the scorers rely on)
-MIN_POSTINGS_VERSION = 2
+# oldest postings layout this engine can score (v4 replaced the stored
+# block_max_tf float with avgdl-independent (max_tf, min_dl) ints the
+# bmw scorer reads)
+MIN_POSTINGS_VERSION = 4
 
 
 class SearchEngine:
@@ -449,7 +451,7 @@ def _score_exhaustive(pdf, terms_sorted, idf, avgdl, lo, span, k):
 def _score_bmw(pdf, terms_sorted, idf, avgdl, lo, span, k):
     """Segment-form block-max WAND. Doc space is cut at every block
     boundary; each segment's bound = Σ over terms of the overlapping
-    block's idf*block_max_tf. Segments are scored (exactly, in ascending
+    block's idf*tfpart(max_tf, min_dl, avgdl). Segments are scored (exactly, in ascending
     term order) in descending-bound order; once k results exist and the
     next bound < kth score, remaining segments cannot place (strictly —
     so tie-breaking matches exhaustive)."""
@@ -457,12 +459,22 @@ def _score_bmw(pdf, terms_sorted, idf, avgdl, lo, span, k):
     for rank_t, t in enumerate(terms_sorted):
         g = pdf[pdf["term"] == t]
         w = idf[t]
-        for fd, ld, bmax, ids_b, tfs_b, dls_b, n in zip(
-            g["first_doc"], g["last_doc"], g["block_max_tf"],
+        # block upper bound from the stored (max_tf, min_dl) ints: tfpart
+        # is monotone up in tf / down in dl, so this bounds every posting
+        # in the block under the CURRENT avgdl (the stored metadata is
+        # avgdl-independent — safe across incremental rebuilds that shift
+        # the corpus avgdl; see build.py POSTINGS_SCHEMA)
+        ubs = w * bm25_tfpart(
+            g["max_tf"].to_numpy(dtype=np.float64),
+            g["min_dl"].to_numpy(dtype=np.float64),
+            avgdl,
+        )
+        for fd, ld, ub, ids_b, tfs_b, dls_b, n in zip(
+            g["first_doc"], g["last_doc"], ubs,
             g["doc_ids"], g["tfs"], g["dls"], g["n_docs"],
         ):
             blocks.append(
-                (rank_t, int(fd), int(ld), w * float(bmax),
+                (rank_t, int(fd), int(ld), float(ub),
                  ids_b, tfs_b, dls_b, int(n))
             )
     if not blocks:

@@ -1,0 +1,529 @@
+"""Stable-doc_id mode: shard-scoped incremental rebuilds (O(churn), not
+O(corpus)).
+
+Rank mode (the default) assigns doc_id = global (repo, path, commit)
+sorted rank — deterministic and oracle-friendly, but any insert shifts
+every subsequent id, so its incremental path must rebuild all downstream
+tables over the whole corpus.  Stable mode pins a doc to a shard by key
+hash and ranks only WITHIN the shard:
+
+    shard  = pmod(xxhash64(repo, path, commit), n_shards)   (frozen)
+    doc_id = shard * STRIDE + within-shard rank             (rank 1-based)
+
+A churned doc perturbs only its own shard's ranks, so a daily 10%-churn
+incremental re-tokenizes only the changed docs (the same sha gate as
+rank mode) AND re-encodes only the touched shards' postings/doc_stats/
+doc_lens partitions — the reference's per-doc staleness-gate semantics
+(services/indexer/main.py:140-143) at Spark scale.  Every per-shard
+invariant the scorers rely on survives: doc_ids stay contiguous within
+a shard (dense accumulation spans, doc_lens packing), and the postings
+block-max metadata is avgdl-independent (build.py POSTINGS_SCHEMA), so
+untouched shards' WAND bounds remain exact when the corpus avgdl moves.
+
+(A raw xxhash64 doc_id — the obvious alternative — would both collide at
+10^12 docs (63-bit birthday bound) and destroy the dense per-shard id
+ranges the vectorized scorers depend on; hashing only the SHARD choice
+and ranking within it gives the same O(churn) incrementality with zero
+collision risk.)
+
+n_shards is chosen at the first build and FROZEN in the analyzed
+manifest — at 100 TB pick it so a shard's analyzed rows fit an executor
+(e.g. 100k shards for 10^12 docs); re-sharding is an explicit
+force-rebuild.
+
+Commit protocol: all delta tables are staged as committed *_delta /
+*_next tables first; then ONE fsync'd _TXN.json journal (tables.py
+begin_txn/recover_txn) records the partition moves + promotes + final
+manifests and is replayed idempotently by every entry point, so a kill
+at any moment leaves either the old index or the new one — never a mix.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import time
+import uuid
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark import StorageLevel, TaskContext
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .analyzer import term_freqs_positions
+from .build import (
+    ANALYZED_SCHEMA,
+    DOWNSTREAM_STAGES,
+    NSALT,
+    BuildInfo,
+    _downstream_current,
+    _LineageAccParam,
+    _stage_doc_lens,
+    _stage_doc_stats,
+    _stage_postings,
+    default_shards,
+)
+from .tables import Warehouse
+
+# doc_id = shard * STRIDE + rank: 2^33 docs per shard headroom; with the
+# 4096-shard default cap doc_ids stay < 2^45 (int64-safe, and far below
+# the phrase scorer's composite-key overflow guard).
+STRIDE = 1 << 33
+
+KEYS = ["repo", "path", "commit"]
+GATE = KEYS + ["lang", "content_sha256"]
+_DELTA_TABLES = [
+    ("analyzed", "analyzed_delta"),
+    ("doc_stats", "doc_stats_delta"),
+    ("postings", "postings_delta"),
+    ("doc_lens", "doc_lens_delta"),
+]
+_STAGING = [d for _, d in _DELTA_TABLES] + ["term_stats_next", "corpus_stats_next"]
+
+
+def stable_shard_col(n_shards: int):
+    return F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(n_shards)).cast("int")
+
+
+def _sha_col():
+    return F.sha2(F.encode(F.coalesce(F.col("content"), F.lit("")), "utf-8"), 256)
+
+
+def _analyze_rank_fn(acc, shard_size_guard: int = STRIDE, tokenize: bool = True):
+    """mapInPandas body: rows arrive sorted by (shard, repo, path, commit)
+    with every shard wholly inside one partition (hash repartition on the
+    shard column), so within-shard rank is a running per-shard counter —
+    no global offset pass, no window.  With tokenize=True the same pass
+    runs the analyzer (one Python sweep total); with False the rows
+    already carry terms/tfs/positions (reused from the committed
+    analyzed) and only ids are assigned."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pid = TaskContext.get().partitionId()
+        next_rank: dict[int, int] = {}
+        part_shas: list[str] = []
+        part_dl = 0
+        cols = [
+            "doc_id", "repo", "path", "commit", "lang", "content_sha256",
+            "shard", "doc_len", "terms", "tfs", "positions",
+        ]
+        for pdf in batches:
+            out = {c: [] for c in cols}
+            if tokenize:
+                it = zip(
+                    pdf["shard"], pdf["repo"], pdf["path"], pdf["commit"],
+                    pdf["lang"], pdf["content"],
+                )
+            else:
+                it = zip(
+                    pdf["shard"], pdf["repo"], pdf["path"], pdf["commit"],
+                    pdf["lang"], pdf["content_sha256"], pdf["doc_len"],
+                    pdf["terms"], pdf["tfs"], pdf["positions"],
+                )
+            for row in it:
+                shard = int(row[0])
+                rank = next_rank.get(shard, 0) + 1
+                next_rank[shard] = rank
+                if rank >= shard_size_guard:
+                    raise OverflowError(
+                        f"shard {shard} exceeds STRIDE={shard_size_guard} docs; "
+                        "rebuild with more shards"
+                    )
+                doc_id = shard * STRIDE + rank
+                if tokenize:
+                    _sh, repo, path, commit, lang, content = row
+                    content = content or ""
+                    tfp = term_freqs_positions(content)
+                    terms = sorted(tfp)
+                    sha = hashlib.sha256(content.encode("utf-8")).hexdigest()
+                    dl = sum(t[0] for t in tfp.values())
+                    tfs = [tfp[t][0] for t in terms]
+                    positions = [p for t in terms for p in tfp[t][1]]
+                else:
+                    (_sh, repo, path, commit, lang, sha, dl,
+                     terms, tfs, positions) = row
+                    dl = int(dl)
+                    terms = list(terms)
+                    tfs = list(tfs)
+                    positions = list(positions)
+                part_shas.append(sha)
+                part_dl += dl
+                out["doc_id"].append(doc_id)
+                out["repo"].append(repo)
+                out["path"].append(path)
+                out["commit"].append(commit)
+                out["lang"].append(lang)
+                out["content_sha256"].append(sha)
+                out["shard"].append(shard)
+                out["doc_len"].append(dl)
+                out["terms"].append(terms)
+                out["tfs"].append(tfs)
+                out["positions"].append(positions)
+            yield pd.DataFrame(out, columns=cols)
+        rollup = hashlib.sha256(",".join(sorted(part_shas)).encode()).hexdigest()
+        acc.add(
+            {pid: {"partition_id": pid, "doc_count": len(part_shas),
+                   "posting_bytes": part_dl, "sha256_rollup": rollup}}
+        )
+
+    return run
+
+
+def _shard_grouped(df: DataFrame, n_shards: int) -> DataFrame:
+    """Repartition so every shard's rows are wholly inside one partition,
+    sorted by (shard, repo, path, commit) — the precondition for local
+    within-shard rank assignment.  Hash partitioning on the shard COLUMN
+    guarantees colocation at any partition count; shards are hash-
+    balanced so skew is bounded by the shard-size distribution."""
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    nparts = max(par, min(n_shards, 4 * par))
+    return df.repartition(nparts, "shard").sortWithinPartitions("shard", *KEYS)
+
+
+def _stage_analyzed_stable(
+    spark: SparkSession,
+    docs: DataFrame,
+    wh: Warehouse,
+    n_shards: int | None,
+    dst: str = "analyzed",
+) -> None:
+    """Stable-mode analyzed stage: ONE pass tokenizes and assigns
+    (shard, within-shard rank) doc_ids — no global count pass and no
+    range-boundary sampling job (contrast _stage_analyzed's two-pass
+    rank protocol), because ranks are local to each hash-pinned shard."""
+    if n_shards is None:
+        n_shards = default_shards(docs.count())
+    sc = spark.sparkContext
+    lin_acc = sc.accumulator({}, _LineageAccParam())
+    src = docs.select(*KEYS, "lang", "content").withColumn(
+        "shard", stable_shard_col(n_shards)
+    )
+    analyzed = _shard_grouped(src, n_shards).mapInPandas(
+        _analyze_rank_fn(lin_acc, tokenize=True), ANALYZED_SCHEMA
+    )
+    wh.write(
+        analyzed,
+        dst,
+        stage="analyzed",
+        partition_by=["shard"],
+        meta={
+            "n_shards": int(n_shards),
+            "shard_size": STRIDE,
+            "doc_id_mode": "stable",
+            "build_id": uuid.uuid4().hex,
+        },
+        meta_fn=lambda: {
+            "n_docs": int(sum(r["doc_count"] for r in lin_acc.value.values())),
+            "sum_dl": int(sum(r["posting_bytes"] for r in lin_acc.value.values())),
+        },
+    )
+    wh.append_lineage_rows(dst, list(lin_acc.value.values()))
+
+
+def incremental_build_stable(
+    spark: SparkSession,
+    docs: DataFrame,
+    wh: str | Warehouse,
+    mode: str = "full",
+    parallel: bool = True,
+) -> BuildInfo:
+    """Shard-scoped incremental over a stable-id warehouse: tokenizes only
+    changed docs (sha+lang gate), rebuilds only the shards containing a
+    changed/removed doc, delta-updates term_stats df and the corpus
+    scalars, and swaps it all in via one recoverable _TXN journal.
+
+    The result is bit-identical to a from-scratch stable build over the
+    same corpus (ranks within a shard depend only on that shard's final
+    membership) — asserted in tests/test_stable_incremental.py."""
+    if mode not in ("full", "upsert"):
+        raise ValueError(f"mode={mode!r} must be 'full' or 'upsert'")
+    wh = wh if isinstance(wh, Warehouse) else Warehouse(wh)
+    from .build import FORMAT_VERSION, build_index
+
+    # apply any pending partition-swap journal FIRST: until it is replayed
+    # the on-disk tables are a committed old/new mix and every manifest
+    # read below would see pre-swap state
+    wh.recover_txn()
+    if not (
+        wh.is_committed("analyzed")
+        and wh.manifest("analyzed").get("format_version") == FORMAT_VERSION
+        and wh.manifest("analyzed").get("doc_id_mode", "rank") == "stable"
+    ):
+        return build_index(
+            spark, docs, wh, parallel=parallel, doc_id_mode="stable"
+        )
+    # delta swaps graft new shard partitions onto the COMMITTED downstream
+    # tables — that is only sound if those tables are present, current-
+    # format, and built from THIS analyzed.  Heal any gap first (skips the
+    # committed analyzed, rebuilds exactly the non-current stages).
+    if not all(_downstream_current(wh, t) for t in DOWNSTREAM_STAGES):
+        build_index(spark, docs, wh, parallel=parallel, doc_id_mode="stable")
+    man = wh.manifest("analyzed")
+    n_shards = int(man["n_shards"])
+    t0 = time.time()
+    stage_secs: dict[str, float] = {}
+
+    # abandoned staging from a run killed BEFORE its journal was written
+    # is meaningless (no journal -> old warehouse is authoritative)
+    for t in _STAGING:
+        wh.drop(t)
+
+    old = wh.read(spark, "analyzed")
+    incoming = docs.withColumn("content_sha256", _sha_col())
+    changed = incoming.join(old.select(*GATE), GATE, "left_anti").withColumn(
+        "shard", stable_shard_col(n_shards)
+    )
+    if mode == "full":
+        gone = old.join(incoming.select(*GATE), GATE, "left_anti")
+    else:
+        gone = old.join(changed.select(*KEYS), KEYS, "left_semi")
+    gone = gone.persist(StorageLevel.DISK_ONLY)
+
+    # tokenize ONLY the changed docs (the staleness gate); lineage under
+    # incremental_tokenize proves the gate (doc_count == changed docs)
+    sc = spark.sparkContext
+    tok_acc = sc.accumulator({}, _LineageAccParam())
+
+    def analyze_only(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pid = TaskContext.get().partitionId()
+        n = 0
+        dl_sum = 0
+        shas: list[str] = []
+        cols = KEYS + ["lang", "content_sha256", "shard", "doc_len",
+                       "terms", "tfs", "positions"]
+        for pdf in batches:
+            out = {c: [] for c in cols}
+            for repo, path, commit, lang, content, shard in zip(
+                pdf["repo"], pdf["path"], pdf["commit"], pdf["lang"],
+                pdf["content"], pdf["shard"],
+            ):
+                content = content or ""
+                tfp = term_freqs_positions(content)
+                terms = sorted(tfp)
+                sha = hashlib.sha256(content.encode("utf-8")).hexdigest()
+                dl = sum(t[0] for t in tfp.values())
+                n += 1
+                dl_sum += dl
+                shas.append(sha)
+                out["repo"].append(repo)
+                out["path"].append(path)
+                out["commit"].append(commit)
+                out["lang"].append(lang)
+                out["content_sha256"].append(sha)
+                out["shard"].append(int(shard))
+                out["doc_len"].append(dl)
+                out["terms"].append(terms)
+                out["tfs"].append([tfp[t][0] for t in terms])
+                out["positions"].append([p for t in terms for p in tfp[t][1]])
+            yield pd.DataFrame(out, columns=cols)
+        rollup = hashlib.sha256(",".join(sorted(shas)).encode()).hexdigest()
+        tok_acc.add(
+            {pid: {"partition_id": pid, "doc_count": n,
+                   "posting_bytes": dl_sum, "sha256_rollup": rollup}}
+        )
+
+    an_schema = (
+        "repo string, path string, commit string, lang string, "
+        "content_sha256 string, shard int, doc_len int, "
+        "terms array<string>, tfs array<int>, positions array<int>"
+    )
+    changed_an = (
+        changed.select(*KEYS, "lang", "content", "shard")
+        .mapInPandas(analyze_only, an_schema)
+        .persist(StorageLevel.DISK_ONLY)
+    )
+
+    ch = changed_an.agg(
+        F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("doc_len"), F.lit(0)).alias("dl")
+    ).collect()[0]
+    gn = gone.agg(
+        F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("doc_len"), F.lit(0)).alias("dl")
+    ).collect()[0]
+    n_changed, dl_changed = int(ch["n"]), int(ch["dl"])
+    n_gone, dl_gone = int(gn["n"]), int(gn["dl"])
+    stage_secs["gate"] = round(time.time() - t0, 2)
+
+    if n_changed == 0 and n_gone == 0:
+        changed_an.unpersist()
+        gone.unpersist()
+        if all(_downstream_current(wh, t) for t in DOWNSTREAM_STAGES):
+            return BuildInfo(
+                int(man["n_docs"]), n_shards, STRIDE,
+                stages_run=[],
+                stages_skipped=["analyzed"] + DOWNSTREAM_STAGES,
+                stage_secs={},
+            )
+        # downstream missing/stale: heal via the full-build resume path
+        # (skips the committed analyzed, rebuilds only non-current stages)
+        return build_index(spark, docs, wh, parallel=parallel, doc_id_mode="stable")
+
+    wh.append_lineage_rows("incremental_tokenize", list(tok_acc.value.values()))
+
+    touched = sorted(
+        {int(r["shard"]) for r in changed_an.select("shard").distinct().collect()}
+        | {int(r["shard"]) for r in gone.select("shard").distinct().collect()}
+    )
+    n_docs_new = int(man["n_docs"]) - n_gone + n_changed
+    sum_dl_new = int(man["sum_dl"]) - dl_gone + dl_changed
+    new_build_id = uuid.uuid4().hex
+
+    # ---- analyzed_delta: the touched shards' FULL new membership,
+    # re-ranked locally (reused rows keep their committed terms verbatim)
+    t1 = time.time()
+    old_t = old.filter(F.col("shard").isin([int(s) for s in touched]))
+    if mode == "full":
+        kept = old_t.join(incoming.select(*GATE), GATE, "left_semi")
+    else:
+        kept = old_t.join(changed.select(*KEYS), KEYS, "left_anti")
+    no_id = ["repo", "path", "commit", "lang", "content_sha256", "shard",
+             "doc_len", "terms", "tfs", "positions"]
+    delta_rows = kept.select(*no_id).unionByName(changed_an.select(*no_id))
+    lin_acc = sc.accumulator({}, _LineageAccParam())
+    delta_analyzed = _shard_grouped(delta_rows, n_shards).mapInPandas(
+        _analyze_rank_fn(lin_acc, tokenize=False), ANALYZED_SCHEMA
+    )
+    wh.write(
+        delta_analyzed,
+        "analyzed_delta",
+        stage="analyzed",
+        partition_by=["shard"],
+        meta={
+            "n_docs": n_docs_new,
+            "sum_dl": sum_dl_new,
+            "n_shards": n_shards,
+            "shard_size": STRIDE,
+            "doc_id_mode": "stable",
+            "build_id": new_build_id,
+            "touched_shards": [int(s) for s in touched],
+        },
+    )
+    wh.append_lineage_rows("analyzed", list(lin_acc.value.values()))
+    stage_secs["analyzed"] = round(time.time() - t1, 2)
+
+    # ---- term_stats delta: df' = df + count(new docs' terms)
+    #                                  - count(removed/replaced docs' terms)
+    # (unchanged docs — even in touched shards — contribute no df change.)
+    # Same two-phase salted shape as the full build for hot-term hygiene.
+    t1 = time.time()
+    from pyspark.sql import Observation
+
+    def term_counts(df: DataFrame, out: str) -> DataFrame:
+        ex = df.select(
+            F.explode("terms").alias("term"),
+            F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(NSALT)).alias("salt"),
+        )
+        partial = ex.groupBy("term", "salt").agg(F.count(F.lit(1)).alias("c"))
+        return partial.groupBy("term").agg(F.sum("c").cast("long").alias(out))
+
+    ts = wh.read(spark, "term_stats")
+    merged = (
+        ts.join(term_counts(changed_an, "cn"), "term", "full")
+        .join(term_counts(gone, "cg"), "term", "full")
+        .select(
+            "term",
+            (
+                F.coalesce(F.col("df"), F.lit(0))
+                + F.coalesce(F.col("cn"), F.lit(0))
+                - F.coalesce(F.col("cg"), F.lit(0))
+            ).cast("long").alias("df"),
+        )
+        .filter(F.col("df") > 0)
+    )
+    obs = Observation("term_stats_next")
+    merged = merged.observe(obs, F.count(F.lit(1)).alias("n_terms"))
+    wh.write(
+        merged,
+        "term_stats_next",
+        stage="term_stats",
+        sort_by=["term"],
+        meta={"analyzed_ref": new_build_id},
+        meta_fn=lambda: {"n_terms": int(obs.get["n_terms"])},
+    )
+    n_terms = int(wh.manifest("term_stats_next")["n_terms"])
+    stage_secs["term_stats"] = round(time.time() - t1, 2)
+
+    import pyarrow as pa
+
+    wh.write_local(
+        [{"n_docs": n_docs_new, "sum_dl": sum_dl_new, "n_terms": n_terms}],
+        {"n_docs": pa.int64(), "sum_dl": pa.int64(), "n_terms": pa.int64()},
+        "corpus_stats_next",
+        stage="corpus_stats",
+        meta={"analyzed_ref": new_build_id},
+    )
+
+    # ---- downstream deltas over the touched shards only
+    delta_df = wh.read(spark, "analyzed_delta")
+    t1 = time.time()
+    _stage_doc_stats(spark, delta_df, wh, dst="doc_stats_delta")
+    stage_secs["doc_stats"] = round(time.time() - t1, 2)
+    t1 = time.time()
+    _stage_postings(spark, wh, src="analyzed_delta", dst="postings_delta")
+    stage_secs["postings"] = round(time.time() - t1, 2)
+    t1 = time.time()
+    _stage_doc_lens(spark, delta_df, wh, STRIDE, dst="doc_lens_delta")
+    stage_secs["doc_lens"] = round(time.time() - t1, 2)
+    changed_an.unpersist()
+    gone.unpersist()
+
+    # ---- single-journal swap
+    now = time.time()
+    swaps = []
+    for table, delta in _DELTA_TABLES:
+        droot = wh.path(delta)
+        present = sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(droot)
+            if d.startswith("shard=")
+        )
+        swaps.append(
+            {
+                "table": table,
+                "delta": delta,
+                "moves": present,
+                "deletes": sorted(set(touched) - set(present)),
+            }
+        )
+    manifests: dict[str, dict] = {}
+    am = dict(man)
+    am.update(
+        {
+            "n_docs": n_docs_new,
+            "sum_dl": sum_dl_new,
+            "build_id": new_build_id,
+            "committed_at": now,
+        }
+    )
+    manifests["analyzed"] = am
+    for t in ["doc_stats", "postings", "doc_lens"]:
+        m = dict(wh.manifest(t))
+        m.update({"analyzed_ref": new_build_id, "committed_at": now})
+        if t == "postings":
+            m["n_docs"] = n_docs_new
+        manifests[t] = m
+    for src, dst in [("term_stats_next", "term_stats"),
+                     ("corpus_stats_next", "corpus_stats")]:
+        m = dict(wh.manifest(src))
+        m["table"] = dst
+        manifests[dst] = m
+    wh.begin_txn(
+        {
+            "swaps": swaps,
+            "promotes": [["term_stats_next", "term_stats"],
+                         ["corpus_stats_next", "corpus_stats"]],
+            "manifests": manifests,
+        }
+    )
+    wh.recover_txn()
+    stage_secs["swap"] = round(time.time() - now, 2)
+
+    return BuildInfo(
+        n_docs_new,
+        n_shards,
+        STRIDE,
+        stages_run=["analyzed"] + DOWNSTREAM_STAGES,
+        stages_skipped=[],
+        stage_secs=stage_secs,
+    )

@@ -32,7 +32,10 @@ MANIFEST = "_MANIFEST.json"
 # stages whose manifest carries an older version as NOT committed (rebuild
 # instead of resuming into a stale layout).
 # v3: analyzed.positions flattened to array<int> (per-doc term-major).
-FORMAT_VERSION = 3
+# v4: postings block-max metadata stored as avgdl-independent
+#     (max_tf int, min_dl int) instead of a precomputed block_max_tf
+#     float; doc_lens partitioned by shard (shard-swappable).
+FORMAT_VERSION = 4
 
 LINEAGE_SCHEMA = (
     "stage string, partition_id int, doc_count long, posting_bytes long, "
@@ -44,6 +47,11 @@ class Warehouse:
     def __init__(self, root: str):
         self.root = root
         os.makedirs(root, exist_ok=True)
+        # heal a partition-swap journal left by a killed stable-mode
+        # incremental (see recover_txn) — centralizing here means EVERY
+        # entry point (build, incremental, search, CLI) sees either the
+        # old warehouse or the fully-swapped new one, never a mix
+        self.recover_txn()
 
     def path(self, name: str) -> str:
         return os.path.join(self.root, name)
@@ -147,6 +155,72 @@ class Warehouse:
         shutil.rmtree(self.path(dst), ignore_errors=True)
         os.rename(self.path(src), self.path(dst))
 
+    # ---- partition-swap transactions (stable-id incremental) -----------
+    # A shard-scoped incremental rebuild replaces only the touched shard
+    # partitions of analyzed/doc_stats/postings/doc_lens plus the whole
+    # (small) term_stats/corpus_stats tables.  All new data is staged into
+    # committed *_delta / *_next tables FIRST; then a single fsync'd
+    # _TXN.json journal records every partition move, promote, and final
+    # manifest; recover_txn() replays it idempotently.  A kill at any
+    # point therefore leaves either the old warehouse (journal absent) or
+    # — after the next entry point calls recover_txn() — the new one.
+    # On Iceberg proper this whole protocol is one snapshot commit with
+    # partition-level overwrite.
+
+    def _txn_path(self) -> str:
+        return os.path.join(self.root, "_TXN.json")
+
+    def begin_txn(self, plan: dict) -> None:
+        """Durably record the swap plan.  plan = {
+          "swaps": [{"table", "delta", "moves": [shard...],
+                     "deletes": [shard...]}],
+          "promotes": [[src, dst], ...],
+          "manifests": {table: full manifest dict}}.
+        Every staged source must be committed BEFORE this is called."""
+        tmp = self._txn_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(plan, f, indent=2)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._txn_path())
+
+    def recover_txn(self) -> bool:
+        """Apply (or finish applying) a pending swap journal.  Every step
+        is idempotent: a move whose source is gone was already applied, a
+        promote whose source is no longer committed already happened, and
+        manifest rewrites are last-writer-wins from the journal's frozen
+        dicts.  Returns True if a journal was applied."""
+        p = self._txn_path()
+        if not os.path.exists(p):
+            return False
+        with open(p) as f:
+            plan = json.load(f)
+        for s in plan.get("swaps", []):
+            droot = self.path(s["delta"])
+            troot = self.path(s["table"])
+            for sh in s.get("deletes", []):
+                shutil.rmtree(os.path.join(troot, f"shard={sh}"), ignore_errors=True)
+            for sh in s.get("moves", []):
+                src = os.path.join(droot, f"shard={sh}")
+                if os.path.exists(src):
+                    dst = os.path.join(troot, f"shard={sh}")
+                    shutil.rmtree(dst, ignore_errors=True)
+                    os.rename(src, dst)
+        for src, dst in plan.get("promotes", []):
+            if self.is_committed(src):
+                self.promote(src, dst)
+        for name, man in plan.get("manifests", {}).items():
+            mtmp = os.path.join(self.path(name), MANIFEST + ".tmp")
+            with open(mtmp, "w") as f:
+                json.dump(man, f, indent=2)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(mtmp, os.path.join(self.path(name), MANIFEST))
+        for s in plan.get("swaps", []):
+            shutil.rmtree(self.path(s["delta"]), ignore_errors=True)
+        os.remove(p)
+        return True
+
     def expire_stale_staging(self, ttl_seconds: float = 3600.0) -> list[str]:
         """S8 — the reference's 1-hour TTL on staged image data
         (image-api image_controller.go:37, ``pipeline.Expire(imageKey,
@@ -181,6 +255,16 @@ class Warehouse:
     def read(self, spark: SparkSession, name: str) -> DataFrame:
         if not self.is_committed(name):
             raise FileNotFoundError(f"table {name} not committed in {self.root}")
+        # Invalidate any cached data/file-listing for this path: after an
+        # in-session rebuild (promote or partition swap) Spark's cache
+        # manager would otherwise satisfy a NEW read of the same path from
+        # a persisted plan over the OLD files — a fresh SearchEngine then
+        # silently scores the pre-rebuild index (observed: a term indexed
+        # by the incremental was unfindable until session restart).
+        try:
+            spark.catalog.refreshByPath(self.path(name))
+        except Exception:
+            pass  # pre-3.x sessions or exotic catalogs: stale cache risk only
         # read with the schema recorded at commit time: a legitimately
         # EMPTY table (e.g. an empty-corpus build) has no parquet files
         # to infer from, and schema-by-manifest also keeps reads stable

@@ -85,7 +85,8 @@ def test_postings_block_invariants(spark, built_warehouse):
         (F.col("n_docs") <= 0)
         | (F.col("n_docs") > 128)
         | (F.col("first_doc") > F.col("last_doc"))
-        | (F.col("block_max_tf") <= 0)
+        | (F.col("max_tf") <= 0)
+        | (F.col("min_dl") <= 0)
     )
     assert bad.count() == 0
 

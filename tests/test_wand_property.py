@@ -13,7 +13,6 @@ import pytest
 
 from moogle_spark import codec
 from moogle_spark.query import _score_bmw, _score_exhaustive
-from moogle_spark.scoring import bm25_tfpart
 
 BLOCK = 128
 
@@ -27,7 +26,6 @@ def _make_pdf(rng, n_docs, terms, avgdl):
         dls = rng.integers(5, 1200, size=df).astype(np.int64)
         for b0 in range(0, df, BLOCK):
             b1 = min(b0 + BLOCK, df)
-            part = bm25_tfpart(tfs[b0:b1], dls[b0:b1], avgdl)
             rows.append(
                 {
                     "shard": 0,
@@ -39,7 +37,8 @@ def _make_pdf(rng, n_docs, terms, avgdl):
                     "doc_ids": codec.encode_doc_ids(ids[b0:b1]),
                     "tfs": codec.encode_tfs(tfs[b0:b1]),
                     "dls": codec.varint_encode(dls[b0:b1]),
-                    "block_max_tf": float(part.max()),
+                    "max_tf": int(tfs[b0:b1].max()),
+                    "min_dl": int(dls[b0:b1].min()),
                 }
             )
     return pd.DataFrame(rows)
