@@ -18,9 +18,14 @@ the built-in ``F.levenshtein`` — all JVM-side, no Python.
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+# FuzzySearch.php:62-74,133 — suggestions are cached for an hour
+FUZZY_TTL_SECONDS = 3600.0
 
 
 def edit_cap(word_len_col):
@@ -68,6 +73,39 @@ def rewrite_query(dictionary: DataFrame, query_terms: list[str]) -> list[str]:
     )
     m = {r["word"]: r["suggestion"] for r in best}
     return [m.get(t.lower(), t.lower()) for t in query_terms]
+
+
+class SuggestionCache:
+    """(word -> best in-cap suggestion) memo with the reference's 1-hour
+    TTL (FuzzySearch.php:62-74 reads the cache before scanning the
+    dictionary; :133 stores with a 3600 s expiry).  Only words that are
+    uncached (or expired) pay a levenshtein dictionary scan — a repeated
+    misspelling resolves from the driver-side dict with ZERO Spark jobs.
+    Driver-sized by construction: one entry per distinct queried word.
+
+    ``now`` is injectable for deterministic TTL tests."""
+
+    def __init__(self, ttl_seconds: float = FUZZY_TTL_SECONDS, now=time.time):
+        self._ttl = float(ttl_seconds)
+        self._now = now
+        self._m: dict[str, tuple[str, float]] = {}
+
+    def rewrite(self, dictionary: DataFrame, query_terms: list[str]) -> list[str]:
+        """rewrite_query semantics, memoized: identical output, but the
+        dictionary scan covers only the cache-miss words."""
+        t = self._now()
+        words = [w.lower() for w in query_terms]
+        missing = sorted(
+            {
+                w
+                for w in words
+                if w not in self._m or t - self._m[w][1] > self._ttl
+            }
+        )
+        if missing:
+            for w, s in zip(missing, rewrite_query(dictionary, missing)):
+                self._m[w] = (s, t)
+        return [self._m[w][0] for w in words]
 
 
 def dictionary_from_docs(doc_terms: DataFrame) -> DataFrame:

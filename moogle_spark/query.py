@@ -48,6 +48,9 @@ from .scoring import bm25_idf, bm25_tfpart
 from .tables import FORMAT_VERSION, Warehouse
 
 RESULT_SCHEMA = "shard int, doc_id long, score double, match_count int"
+MULTI_RESULT_SCHEMA = (
+    "query_id int, shard int, doc_id long, score double, match_count int"
+)
 
 # oldest postings layout this engine can score (v4 replaced the stored
 # block_max_tf float with avgdl-independent (max_tf, min_dl) ints the
@@ -101,6 +104,9 @@ class SearchEngine:
             )
             self.term_stats = self.term_stats.persist()
             self._sharded = True
+        # per-engine spell-suggestion memo (reference: 1 h APC cache,
+        # FuzzySearch.php:62-74,133) — created lazily on first fuzzy query
+        self._fuzzy_cache = None
 
     # ------------------------------------------------------------------
     def term_dfs(self, terms: list[str]) -> dict[str, int]:
@@ -135,9 +141,7 @@ class SearchEngine:
             raise ValueError(f"page={page} — pagination is 1-based")
         terms = sorted(set(tokenize_query(query)))
         if fuzzy and terms:
-            from .fuzzy import rewrite_query
-
-            terms = sorted(set(rewrite_query(self.term_stats, terms)))
+            terms = sorted(set(self._fuzzy_rewrite(terms)))
         if not terms:
             return self._empty(enrich)
         # df rides into the scorer via a broadcast join with the (tiny)
@@ -163,6 +167,101 @@ class SearchEngine:
         if page > 1:
             out = out.filter(F.col("rank") > (page - 1) * k)
         return self.enrich(out) if enrich else out
+
+    def _fuzzy_rewrite(self, terms: list[str]) -> list[str]:
+        if self._fuzzy_cache is None:
+            from .fuzzy import SuggestionCache
+
+            self._fuzzy_cache = SuggestionCache()
+        return self._fuzzy_cache.rewrite(self.term_stats, terms)
+
+    def search_many(
+        self,
+        queries: list[str],
+        k: int = 20,
+        mode: str = "bmw",
+        fuzzy: bool = False,
+    ) -> DataFrame:
+        """Batched top-k: score ALL queries in ONE zero-exchange postings
+        pass.  Returns (query_id, rank, doc_id, score, match_count) with
+        query_id = position in ``queries``; per-query rows are identical
+        to ``search(queries[i], k, mode)`` (asserted in
+        tests/test_engine_parity.py).
+
+        Why a batch form exists: a single search is already one Spark job,
+        so an N-query replay pays N× the per-job scheduling floor
+        (measured 85–120 ms in local mode — bench.py note) even when every
+        scan is cache-warm.  search_many unions the queries' term lists
+        into one postings filter, scores each (query, shard) pair inside
+        the same mapInPandas pass over the cached shard partitions, and
+        merges with ONE k·|queries|-row window — the whole batch is a
+        single job regardless of |queries|.  A pipeline replaying a 10k-
+        query log at 100 TB needs this form: per-query jobs would spend
+        more time in the scheduler than in scoring (tools/
+        multiquery_bench.py measures the gap).
+
+        Blocks shared by multiple queries' terms are decoded once per
+        query (not memoized across queries): decode is ~5% of batch cost
+        and the scorers stay byte-identical to the single-query path."""
+        qterms: list[list[str]] = []
+        for q in queries:
+            terms = sorted(set(tokenize_query(q)))
+            if fuzzy and terms:
+                terms = sorted(set(self._fuzzy_rewrite(terms)))
+            qterms.append(terms)
+        all_terms = sorted({t for ts in qterms for t in ts})
+        empty_schema = (
+            "query_id int, rank int, doc_id long, score double, match_count int"
+        )
+        if not all_terms:
+            return self.spark.createDataFrame([], empty_schema)
+        ts = F.broadcast(self.term_stats.filter(F.col("term").isin(all_terms)))
+        cand = self.postings.filter(F.col("term").isin(all_terms)).join(ts, "term")
+        fn = _make_multi_scorer(qterms, self.n_docs, self.avgdl, k, mode)
+        if self._sharded:
+            scored = cand.mapInPandas(_partition_scorer(fn), MULTI_RESULT_SCHEMA)
+        else:
+            scored = cand.groupBy("shard").applyInPandas(fn, MULTI_RESULT_SCHEMA)
+        # merge: <= k rows per (query, shard); partitioned window, so the
+        # shuffle moves k·|queries|·shards rows and no WindowExec
+        # single-partition fallback is involved
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "rank", "doc_id", "score", "match_count")
+        )
+
+    def search_with_images(
+        self,
+        query: str,
+        docs: DataFrame,
+        k: int = 20,
+        page: int = 1,
+        image_k: int = 5,
+        asset_col: str = "source",
+        text_col: str = "text",
+        enrich: bool = True,
+        fuzzy: bool = False,
+    ) -> dict[str, DataFrame | None]:
+        """The reference's composed page-1 response
+        (QuerySearchController.php:344-347): web top-k plus the top-5
+        image results, images attached ONLY on page 1 (:344 gates on
+        $page == 1) and WITHOUT the fuzzy rewrite (:366 — the image
+        pipeline sees the raw query words even when the web side was
+        fuzzy-rewritten).  ``docs`` is the crawled-pages table the image
+        index derives from (imageindex.image_postings).  Returns
+        {"web": DataFrame, "images": DataFrame | None}."""
+        web = self.search(query, k=k, page=page, enrich=enrich, fuzzy=fuzzy)
+        if page != 1:
+            return {"web": web, "images": None}
+        from .imageindex import search_images_enriched
+
+        terms = sorted(set(tokenize_query(query)))
+        images = search_images_enriched(
+            docs, terms, k=image_k, asset_col=asset_col, text_col=text_col
+        )
+        return {"web": web, "images": images}
 
     def search_phrase(self, query: str, k: int = 20, enrich: bool = False) -> DataFrame:
         """Exact-phrase top-k using the per-posting POSITIONS arrays
@@ -264,6 +363,54 @@ def _make_scorer(n_docs: int, avgdl: float, k: int, mode: str):
                 "match_count": matches.astype(np.int32),
             }
         )
+
+    return score_shard
+
+
+def _make_multi_scorer(qterms: list[list[str]], n_docs: int, avgdl: float, k: int, mode: str):
+    """Per-shard scorer for search_many: the shard group holds the UNION
+    of every query's term rows; each query scores its own subset with the
+    exact single-query scorer (_score_bmw/_score_exhaustive), so per-query
+    results are bit-identical to search()."""
+
+    def score_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["query_id", "shard", "doc_id", "score", "match_count"]
+        if len(pdf) == 0:
+            return pd.DataFrame(columns=cols)
+        shard = int(pdf["shard"].iloc[0])
+        dfs = dict(zip(pdf["term"], pdf["df"]))
+        by_term = {t: g for t, g in pdf.groupby("term", sort=False)}
+        outs: list[pd.DataFrame] = []
+        for qid, terms in enumerate(qterms):
+            present = [t for t in terms if t in by_term]
+            if not present:
+                continue
+            sub = (
+                by_term[present[0]]
+                if len(present) == 1
+                else pd.concat([by_term[t] for t in present], ignore_index=True)
+            )
+            idf = {t: float(bm25_idf(n_docs, int(dfs[t]))) for t in present}
+            terms_sorted = sorted(idf)
+            lo = int(sub["first_doc"].min())
+            span = int(sub["last_doc"].max()) - lo + 1
+            f = _score_exhaustive if mode == "exhaustive" else _score_bmw
+            docs, scores, matches = f(sub, terms_sorted, idf, avgdl, lo, span, k)
+            if len(docs):
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": np.full(len(docs), qid, dtype=np.int32),
+                            "shard": np.full(len(docs), shard, dtype=np.int32),
+                            "doc_id": docs,
+                            "score": scores,
+                            "match_count": matches.astype(np.int32),
+                        }
+                    )
+                )
+        if not outs:
+            return pd.DataFrame(columns=cols)
+        return pd.concat(outs, ignore_index=True)
 
     return score_shard
 

@@ -304,6 +304,57 @@ def ivf_index_write(
     cent.write.mode("overwrite").parquet(f"{path}/_centroids")
 
 
+def ivf_index_append(
+    spark,
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+) -> dict:
+    """Append vectors to a materialized IVF index WITHOUT retraining:
+    assign each new vector to its nearest STORED centroid (broadcast
+    k-row join — the standard assign pattern) and append only the
+    affected cell partitions; `_centroids` is untouched, so concurrent
+    probes keep ranking against a stable quantizer.  This is the
+    incremental-ingest path at 100 TB — retraining is O(corpus·iters),
+    appending is O(batch).
+
+    Returns drift stats over the appended batch:
+      {"n_appended", "mean_dist", "max_dist"} where dist is the squared
+    L2 to the assigned centroid.  A drift trend (batch mean creeping
+    above the training-time assignment distance) is the retrain signal —
+    stored centroids go stale as the distribution moves; schedule
+    ivf_index_write to re-fit, exactly like FAISS re-training an IVF
+    list.  Scalar-only collect (one row)."""
+    cent = spark.read.parquet(f"{path}/_centroids")
+    assign = kmeans_assign(new_vectors, cent, id_col=id_col)
+    appended = new_vectors.join(assign, id_col)
+    appended.write.mode("append").partitionBy("cell").parquet(f"{path}/vectors")
+    sq = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("centroid"),
+            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    stats = (
+        appended.join(F.broadcast(cent), "cell")
+        .select(sq.alias("d"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("d").alias("mean_d"),
+            F.max("d").alias("max_d"),
+        )
+        .collect()[0]
+    )
+    return {
+        "n_appended": int(stats["n"]),
+        "mean_dist": float(stats["mean_d"]) if stats["mean_d"] is not None else 0.0,
+        "max_dist": float(stats["max_d"]) if stats["max_d"] is not None else 0.0,
+    }
+
+
 def ivf_search_indexed(
     spark,
     path: str,

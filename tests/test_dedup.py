@@ -110,3 +110,26 @@ def test_lsh_composed_verification(spark, docs):
     ex_pairs = {(a, b): j for a, b, j in zip(ex["doc_a"], ex["doc_b"], ex["jaccard"])}
     for a, b, j in zip(got["doc_a"], got["doc_b"], got["jaccard"]):
         assert ex_pairs[(a, b)] == j
+
+
+def test_simhash_bucketed_at_production_width(spark):
+    """bits=60 — the width BENCH.md claims for 100 TB: the pigeonhole
+    chunk equi-join must still be an EXACT rewrite of all-pairs (the
+    16-bit case is kept separately as the DuckDB-oracle contract row).
+    Exercises the conditional-sum agg and chunk extraction at full long
+    range, Spark-only (DuckDB's conv() differs at 60 bits)."""
+    rows = []
+    for i in range(30):
+        # 15 planted identical pairs (hamming 0) + per-doc variation so
+        # non-trivial near pairs exist at full width
+        text = f"alpha beta gamma delta epsilon zeta tok{i // 2} end"
+        rows.append((2 * i, text))
+        rows.append((2 * i + 1, text))
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = simhash_near_pairs(d, max_hamming=3, bits=60).toPandas()
+    bucketed = simhash_near_pairs_bucketed(d, max_hamming=3, bits=60).toPandas()
+    assert len(exact) >= 15  # the planted identical pairs at minimum
+    pd.testing.assert_frame_equal(exact, bucketed)
+    # prints use the full width: some hash must exceed 32-bit range
+    s = simhash(d, bits=60).toPandas()
+    assert s["simhash"].abs().max() > 2**32

@@ -108,3 +108,35 @@ def test_phrase_search_matches_oracle(spark, built_warehouse, oracle_index):
         assert list(got["match_count"]) == list(exp["match_count"]), ph
     # sanity: at least one of the existing phrases matched something
     assert oracle_phrase_search(oracle_index, phrases[0], k=20).shape[0] > 0
+
+
+def test_search_many_parity(engine):
+    """search_many == N independent search() calls, row for row (same
+    scorers run on per-query row subsets), including queries whose terms
+    are partly or wholly absent and an empty query."""
+    batch = QUERIES[:8] + ["zzqq absentterm", "", "hotterm0 zzqq"]
+    got = engine.search_many(batch, k=10).toPandas()
+    for qid, q in enumerate(batch):
+        g = got[got["query_id"] == qid].sort_values("rank")
+        exp = engine.search(q, k=10).toPandas()
+        assert list(g["doc_id"]) == list(exp["doc_id"]), (qid, q)
+        assert [repr(s) for s in g["score"]] == [repr(s) for s in exp["score"]], q
+        assert list(g["match_count"]) == list(exp["match_count"]), q
+        assert list(g["rank"]) == list(exp["rank"]), q
+    assert len(got)  # batch found something overall
+
+
+def test_search_many_exhaustive_mode(engine):
+    batch = ["hotterm0 hotterm1", "def return import"]
+    got = engine.search_many(batch, k=7, mode="exhaustive").toPandas()
+    for qid, q in enumerate(batch):
+        g = got[got["query_id"] == qid].sort_values("rank")
+        exp = engine.search(q, k=7, mode="exhaustive").toPandas()
+        assert list(g["doc_id"]) == list(exp["doc_id"])
+        assert [repr(s) for s in g["score"]] == [repr(s) for s in exp["score"]]
+
+
+def test_search_many_all_empty(engine):
+    out = engine.search_many(["", "zzqq"], k=5).toPandas()
+    assert len(out) == 0
+    assert list(out.columns) == ["query_id", "rank", "doc_id", "score", "match_count"]

@@ -63,3 +63,36 @@ def test_search_images_enriched(spark):
         "asset_id", "match_count", "cum_weight", "doc_id",
         "asset_name", "page_lang", "page_url", "snippet",
     }
+
+
+def test_search_with_images_composed(spark, built_warehouse):
+    """QuerySearchController.php:344-347 — page 1 carries web top-k AND
+    top-5 images; page > 1 carries no images; each half equals the
+    standalone call (images side unfuzzied, :366)."""
+    from moogle_spark.imageindex import search_images_enriched
+    from moogle_spark.query import SearchEngine
+
+    eng = SearchEngine(spark, built_warehouse, cache=False)
+    rows = [
+        (1, "hotterm0 spark shuffle", "hotterm0-alpha.png", "en"),
+        (2, "hotterm0 hotterm0 merge", "hotterm0-beta.png", "en"),
+        (3, "completely unrelated words", "img-gamma.png", "de"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, lang string"
+    )
+
+    out = eng.search_with_images("hotterm0", docs, k=5, image_k=2)
+    web = out["web"].toPandas()
+    img = out["images"].toPandas()
+    sep_web = eng.search("hotterm0", k=5, enrich=True).toPandas()
+    sep_img = search_images_enriched(docs, ["hotterm0"], k=2).toPandas()
+    assert list(web["doc_id"]) == list(sep_web["doc_id"])
+    assert [repr(s) for s in web["score"]] == [repr(s) for s in sep_web["score"]]
+    assert list(img["asset_id"]) == list(sep_img["asset_id"])
+    assert len(img) == 2
+
+    out2 = eng.search_with_images("hotterm0", docs, k=5, page=2)
+    assert out2["images"] is None
+    page2 = eng.search("hotterm0", k=5, page=2, enrich=True).toPandas()
+    assert list(out2["web"].toPandas()["doc_id"]) == list(page2["doc_id"])
