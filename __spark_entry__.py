@@ -101,6 +101,16 @@ def _q_search_bm25(spark, sf_dir):
     return bm25_search(_docs(spark, sf_dir), QUERY_TERMS, k=K)
 
 
+# batched-scoring contract entry: two query term-sets scored in one pass
+MULTI_QUERIES = [["spark", "hash"], ["merge", "window", "join"]]
+
+
+def _q_multi_search(spark, sf_dir):
+    from moogle_spark.textops import bm25_search_many
+
+    return bm25_search_many(_docs(spark, sf_dir), MULTI_QUERIES, k=K)
+
+
 PHRASE = ("spark", "join")
 
 
@@ -748,6 +758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_paragraphs": _q_html_paragraphs,
         "display_fmt": _q_display_fmt,
         "engine_bm25": _q_engine_bm25,
+        "multi_search_bm25": _q_multi_search,
     }
 
 
@@ -955,6 +966,27 @@ def oracle_sql() -> dict[str, str]:
         f"WHERE tf.term IN {_QT_IN}) "
         "SELECT doc_id, round(sum(contrib), 6) AS score, count(*)::INT AS match_count "
         f"FROM c GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT {K}",
+        "multi_search_bm25": f"WITH {_TOKS}, {_TERMS}, {_TF}, {_DF}, {_DL}, "
+        "stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n, "
+        "(SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl), "
+        "q(query_id, term) AS (VALUES "
+        + ", ".join(
+            f"({qid}, '{t}')"
+            for qid, ts in enumerate(MULTI_QUERIES)
+            for t in sorted(set(ts))
+        )
+        + "), "
+        "c AS (SELECT q.query_id, tf.doc_id, "
+        "ln(1 + (stats.n - dft.df + 0.5) / (dft.df + 0.5)) * (tf.tf * 2.2) / "
+        "(tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)) AS contrib "
+        "FROM tf JOIN dft ON tf.term = dft.term JOIN dl ON dl.doc_id = tf.doc_id "
+        "JOIN q ON q.term = tf.term, stats), "
+        "s AS (SELECT query_id, doc_id, round(sum(contrib), 6) AS score, "
+        "count(*)::INT AS match_count FROM c GROUP BY query_id, doc_id), "
+        "r AS (SELECT query_id, doc_id, score, match_count, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY score DESC, doc_id)::INT AS rank FROM s) "
+        f"SELECT query_id, rank, doc_id, score, match_count FROM r WHERE rank <= {K} "
+        "ORDER BY query_id, rank",
         "phrase_match": f"WITH {_TOKS}, "
         "c AS (SELECT doc_id, len(list_filter(generate_series(1, len(t) - 1), "
         "i -> t[i] = 'spark' AND t[i + 1] = 'join'))::INT AS occurrences "

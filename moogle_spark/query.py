@@ -160,6 +160,10 @@ class SearchEngine:
         else:
             scored = cand.groupBy("shard").applyInPandas(fn, RESULT_SCHEMA)
         top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(keff)
+        # unpartitioned window over a frame that is <= page*k rows BY
+        # CONSTRUCTION (the limit above): Spark's "No Partition Defined
+        # for Window" warning fires here but is harmless — the single
+        # partition holds k-ish rows, never corpus data
         w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
         out = top.withColumn("rank", F.row_number().over(w)).select(
             "rank", "doc_id", "score", "match_count"
@@ -288,6 +292,7 @@ class SearchEngine:
         else:
             scored = cand.groupBy("shard").applyInPandas(fn, RESULT_SCHEMA)
         top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        # k-row frame by construction — see the same pattern in search()
         w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
         out = top.withColumn("rank", F.row_number().over(w)).select(
             "rank", "doc_id", "score", "match_count"

@@ -156,6 +156,49 @@ def bm25_search(docs: DataFrame, query_terms: list[str], k: int = 20) -> DataFra
     )
 
 
+def bm25_search_many(
+    docs: DataFrame, query_sets: list[list[str]], k: int = 20
+) -> DataFrame:
+    """Batched BM25 — the declarative twin of SearchEngine.search_many
+    (query.py): ONE tf/df/dl pass serves every query in the batch; a tiny
+    broadcast (query_id, term) relation fans each term's contributions
+    out to the queries that asked for it; one groupBy(query_id, doc_id)
+    and one PARTITIONED rank window emit all top-ks in a single job.
+    At scale this replaces |queries| separate scans (and |queries| job
+    scheduling floors) with one — the query-log-replay shape."""
+    spark = docs.sparkSession
+    n = docs.count()
+    dl = doc_lengths(docs)
+    avgdl = dl.agg(F.sum("dl")).collect()[0][0]
+    avgdl = float(avgdl) / float(n) if n else 1.0
+    pairs = [(qid, t) for qid, ts in enumerate(query_sets) for t in sorted(set(ts))]
+    q = F.broadcast(spark.createDataFrame(pairs, "query_id int, term string"))
+    all_terms = sorted({t for _, t in pairs})
+    tf = term_frequencies(docs).filter(F.col("term").isin(all_terms))
+    df = document_frequency(docs).filter(F.col("term").isin(all_terms))
+    idf = F.log(F.lit(1.0) + (F.lit(float(n)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tfpart = (F.col("tf") * (K1 + 1.0)) / (
+        F.col("tf") + K1 * (1.0 - B + B * F.col("dl") / F.lit(avgdl))
+    )
+    contrib = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .join(q, "term")
+        .select("query_id", "doc_id", (idf * tfpart).alias("c"))
+    )
+    agg = contrib.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum("c"), 6).alias("score"),
+        F.count(F.lit(1)).cast("int").alias("match_count"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "doc_id", "score", "match_count")
+        .orderBy("query_id", "rank")
+    )
+
+
 def search_behavioral(
     docs: DataFrame,
     query_terms: list[str],
