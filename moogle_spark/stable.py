@@ -90,14 +90,15 @@ def _sha_col():
     return F.sha2(F.encode(F.coalesce(F.col("content"), F.lit("")), "utf-8"), 256)
 
 
-def _analyze_rank_fn(acc, shard_size_guard: int = STRIDE, tokenize: bool = True):
+def _analyze_rank_fn(acc, shard_size_guard: int = STRIDE):
     """mapInPandas body: rows arrive sorted by (shard, repo, path, commit)
     with every shard wholly inside one partition (hash repartition on the
     shard column), so within-shard rank is a running per-shard counter —
-    no global offset pass, no window.  With tokenize=True the same pass
-    runs the analyzer (one Python sweep total); with False the rows
-    already carry terms/tfs/positions (reused from the committed
-    analyzed) and only ids are assigned."""
+    no global offset pass, no window — and the same pass runs the
+    analyzer (one Python sweep total).  The incremental delta path does
+    NOT use this: its rows already carry terms, so it assigns the
+    identical ranks with a pure-JVM row_number window instead
+    (incremental_build_stable)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         pid = TaskContext.get().partitionId()
@@ -110,17 +111,10 @@ def _analyze_rank_fn(acc, shard_size_guard: int = STRIDE, tokenize: bool = True)
         ]
         for pdf in batches:
             out = {c: [] for c in cols}
-            if tokenize:
-                it = zip(
-                    pdf["shard"], pdf["repo"], pdf["path"], pdf["commit"],
-                    pdf["lang"], pdf["content"],
-                )
-            else:
-                it = zip(
-                    pdf["shard"], pdf["repo"], pdf["path"], pdf["commit"],
-                    pdf["lang"], pdf["content_sha256"], pdf["doc_len"],
-                    pdf["terms"], pdf["tfs"], pdf["positions"],
-                )
+            it = zip(
+                pdf["shard"], pdf["repo"], pdf["path"], pdf["commit"],
+                pdf["lang"], pdf["content"],
+            )
             for row in it:
                 shard = int(row[0])
                 rank = next_rank.get(shard, 0) + 1
@@ -131,22 +125,14 @@ def _analyze_rank_fn(acc, shard_size_guard: int = STRIDE, tokenize: bool = True)
                         "rebuild with more shards"
                     )
                 doc_id = shard * STRIDE + rank
-                if tokenize:
-                    _sh, repo, path, commit, lang, content = row
-                    content = content or ""
-                    tfp = term_freqs_positions(content)
-                    terms = sorted(tfp)
-                    sha = hashlib.sha256(content.encode("utf-8")).hexdigest()
-                    dl = sum(t[0] for t in tfp.values())
-                    tfs = [tfp[t][0] for t in terms]
-                    positions = [p for t in terms for p in tfp[t][1]]
-                else:
-                    (_sh, repo, path, commit, lang, sha, dl,
-                     terms, tfs, positions) = row
-                    dl = int(dl)
-                    terms = list(terms)
-                    tfs = list(tfs)
-                    positions = list(positions)
+                _sh, repo, path, commit, lang, content = row
+                content = content or ""
+                tfp = term_freqs_positions(content)
+                terms = sorted(tfp)
+                sha = hashlib.sha256(content.encode("utf-8")).hexdigest()
+                dl = sum(t[0] for t in tfp.values())
+                tfs = [tfp[t][0] for t in terms]
+                positions = [p for t in terms for p in tfp[t][1]]
                 part_shas.append(sha)
                 part_dl += dl
                 out["doc_id"].append(doc_id)
@@ -201,7 +187,7 @@ def _stage_analyzed_stable(
         "shard", stable_shard_col(n_shards)
     )
     analyzed = _shard_grouped(src, n_shards).mapInPandas(
-        _analyze_rank_fn(lin_acc, tokenize=True), ANALYZED_SCHEMA
+        _analyze_rank_fn(lin_acc), ANALYZED_SCHEMA
     )
     wh.write(
         analyzed,
@@ -370,7 +356,15 @@ def incremental_build_stable(
     new_build_id = uuid.uuid4().hex
 
     # ---- analyzed_delta: the touched shards' FULL new membership,
-    # re-ranked locally (reused rows keep their committed terms verbatim)
+    # re-ranked locally (reused rows keep their committed terms verbatim).
+    # Rank assignment is PURE JVM — row_number over (shard | KEYS order)
+    # produces exactly the ids the from-scratch Python counter would
+    # (same partition key, same sort key, unique keys), but the kept
+    # rows' term/position arrays never round-trip through Python.  That
+    # matters most under uniform churn (all shards touched): measured at
+    # 200k docs, the old tokenize=False mapInPandas pass alone cost
+    # 25.4 s; the window form leaves tokenization as the only Python in
+    # the analyzed stage (tools/incremental_bench.py).
     t1 = time.time()
     old_t = old.filter(F.col("shard").isin([int(s) for s in touched]))
     if mode == "full":
@@ -380,9 +374,20 @@ def incremental_build_stable(
     no_id = ["repo", "path", "commit", "lang", "content_sha256", "shard",
              "doc_len", "terms", "tfs", "positions"]
     delta_rows = kept.select(*no_id).unionByName(changed_an.select(*no_id))
-    lin_acc = sc.accumulator({}, _LineageAccParam())
-    delta_analyzed = _shard_grouped(delta_rows, n_shards).mapInPandas(
-        _analyze_rank_fn(lin_acc, tokenize=False), ANALYZED_SCHEMA
+    from pyspark.sql import Observation
+    from pyspark.sql.window import Window
+
+    wnd = Window.partitionBy("shard").orderBy(*KEYS)
+    rank_obs = Observation("delta_rank_guard")
+    delta_analyzed = (
+        delta_rows.withColumn("rank", F.row_number().over(wnd))
+        .observe(rank_obs, F.max("rank").alias("max_rank"))
+        .select(
+            (F.col("shard").cast("long") * F.lit(STRIDE) + F.col("rank")).alias(
+                "doc_id"
+            ),
+            *no_id,
+        )
     )
     wh.write(
         delta_analyzed,
@@ -399,7 +404,12 @@ def incremental_build_stable(
             "touched_shards": [int(s) for s in touched],
         },
     )
-    wh.append_lineage_rows("analyzed", list(lin_acc.value.values()))
+    if int(rank_obs.get["max_rank"] or 0) >= STRIDE:
+        # staged delta only — nothing journaled, committed tables intact
+        raise OverflowError(
+            f"a shard exceeds STRIDE={STRIDE} docs; rebuild with more shards"
+        )
+    wh.append_lineage_rows("analyzed", wh.footer_lineage_rows("analyzed_delta"))
     stage_secs["analyzed"] = round(time.time() - t1, 2)
 
     # ---- term_stats delta: df' = df + count(new docs' terms)

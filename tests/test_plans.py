@@ -99,3 +99,24 @@ def test_ivf_probe_scan_partition_pruned(spark, tmp_path):
     plan = _plan(df)
     scan = next(ln for ln in plan.splitlines() if "FileScan parquet" in ln)
     assert "PartitionFilters" in scan and "cell" in scan
+
+
+def test_search_many_plan_single_pass(engine):
+    """The batched scorer must keep the single-query plan's shape: one
+    broadcast term-stats join, no sort-merge join, no exchange on the
+    postings side above the cache; the only added shuffle is the k-rows-
+    per-query partitioned rank window."""
+    plan = _plan(engine.search_many(["hotterm0 hotterm1", "def return"], k=5))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    query_side = plan.split("InMemoryRelation", 1)[0]
+    # exactly the window's hashpartitioning(query_id) exchange — nothing
+    # shuffles the postings themselves
+    exchanges = [
+        ln for ln in query_side.splitlines() if "Exchange hashpartitioning" in ln
+    ]
+    assert len(exchanges) == 1 and "query_id" in exchanges[0], exchanges
+    # the union term filter reaches the cached-batch scan
+    scan_line = next(ln for ln in plan.splitlines() if "InMemoryTableScan" in ln)
+    assert "term" in scan_line and "IN" in scan_line
