@@ -53,12 +53,23 @@ def main() -> None:
     )
     eng.search(hot[0], k=10).collect()  # cache/codegen warmup
     out = {"metric": "phrase_worstcase_sec", "n_docs": n_docs, "phrases": {}}
+    # a df~1 term (per-doc unique token): with block-range
+    # pre-intersection the hot term decodes only the <=2 blocks whose
+    # [first_doc,last_doc] range covers the singleton candidate, instead
+    # of its full ~n_docs doc-id stream
+    ultra = (
+        eng.term_stats.filter(F.col("df") <= 2)
+        .orderBy("term")
+        .limit(1)
+        .collect()[0]["term"]
+    )
     for ph in [
         f"{hot[0]} {hot[0]}",
         f"{hot[0]} {hot[1]}",
         f"{hot[1]} {hot[0]}",
         f"{rare} {hot[0]}",
         f"{hot[0]} {rare}",
+        f"{ultra} {hot[0]}",
     ]:
         times = []
         for _ in range(3):
