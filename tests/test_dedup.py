@@ -118,6 +118,8 @@ def test_simhash_bucketed_at_production_width(spark):
     16-bit case is kept separately as the DuckDB-oracle contract row).
     Exercises the conditional-sum agg and chunk extraction at full long
     range, Spark-only (DuckDB's conv() differs at 60 bits)."""
+    from moogle_spark.dedup import simhash_near_pairs_bucketed
+
     rows = []
     for i in range(30):
         # 15 planted identical pairs (hamming 0) + per-doc variation so

@@ -216,8 +216,12 @@ def test_ivf_index_append_without_retrain(spark, emb, tmp_path):
     # a new vector near cluster-1's center, plus one near cluster 2
     base1 = np.asarray(pdf[pdf["label"] == 1].iloc[0]["embedding"], dtype=np.float64)
     base2 = np.asarray(pdf[pdf["label"] == 2].iloc[0]["embedding"], dtype=np.float64)
-    v1 = [float(x) for x in base1 + 0.01]
-    v2 = [float(x) for x in base2 - 0.01]
+    # alternating-sign perturbation changes DIRECTION (a uniform +eps
+    # barely does): cosine(v, base) rounds below 1.0, so the appended
+    # vector is strictly its own nearest neighbor, no 6-decimal tie
+    delta = np.asarray([0.3 if i % 2 == 0 else -0.3 for i in range(len(base1))])
+    v1 = [float(x) for x in base1 + delta]
+    v2 = [float(x) for x in base2 - delta]
     new_df = spark.createDataFrame(
         [(1000, v1, 1), (1001, v2, 2)],
         "vec_id long, embedding array<float>, label int",
