@@ -12,10 +12,12 @@ sets runtime-modifiable SQL defaults when the submitter didn't.
 
 Commands:
   build   --input PATH --warehouse PATH [--shards N] [--incremental]
-          [--upsert]
+          [--upsert] [--doc-id-mode rank|stable]
+          [--strategy shards|segment|auto] [--auto-compact-ratio F]
   search  --warehouse PATH --query STR [--k N] [--page N]
           [--mode bmw|exhaustive] [--phrase] [--fuzzy] [--enrich]
   expire  --warehouse PATH [--ttl SECONDS]
+  compact --warehouse PATH
 """
 
 from __future__ import annotations
@@ -66,6 +68,16 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--upsert", action="store_true",
                    help="with --incremental: merge into the existing corpus "
                         "instead of replacing it")
+    b.add_argument("--doc-id-mode", choices=["rank", "stable"], default="rank",
+                   help="stable: hash-pinned shards, O(churn) incrementals")
+    b.add_argument("--strategy", choices=["shards", "segment", "auto"],
+                   default="shards",
+                   help="with --incremental on a stable warehouse: "
+                        "touched-shard swap, Lucene-style segment+tombstone "
+                        "generation, or churn-fraction auto pick")
+    b.add_argument("--auto-compact-ratio", type=float, default=None,
+                   help="segment strategy: compact once tombstones exceed "
+                        "this fraction of live docs")
 
     s = sub.add_parser("search", help="query a built index")
     s.add_argument("--warehouse", required=True)
@@ -81,6 +93,11 @@ def main(argv: list[str] | None = None) -> int:
     e.add_argument("--warehouse", required=True)
     e.add_argument("--ttl", type=float, default=3600.0)
 
+    c = sub.add_parser(
+        "compact", help="fold segment generations + tombstones into the base"
+    )
+    c.add_argument("--warehouse", required=True)
+
     args = ap.parse_args(argv)
     spark = _cluster_session()
 
@@ -92,9 +109,14 @@ def main(argv: list[str] | None = None) -> int:
             info = incremental_build(
                 spark, docs, args.warehouse, n_shards=args.shards,
                 mode="upsert" if args.upsert else "full",
+                strategy=args.strategy,
+                auto_compact_ratio=args.auto_compact_ratio,
             )
         else:
-            info = build_index(spark, docs, args.warehouse, n_shards=args.shards)
+            info = build_index(
+                spark, docs, args.warehouse, n_shards=args.shards,
+                doc_id_mode=args.doc_id_mode,
+            )
         print(
             f"BUILD_OK n_docs={info.n_docs} shards={info.n_shards} "
             f"run={info.stages_run} skipped={info.stages_skipped}"
@@ -117,6 +139,14 @@ def main(argv: list[str] | None = None) -> int:
 
         removed = Warehouse(args.warehouse).expire_stale_staging(args.ttl)
         print(f"EXPIRED {removed}")
+    elif args.cmd == "compact":
+        from .segments import compact_segments
+
+        info = compact_segments(spark, args.warehouse)
+        print(
+            f"COMPACT_OK n_docs={info.n_docs} run={info.stages_run} "
+            f"skipped={info.stages_skipped}"
+        )
     return 0
 
 

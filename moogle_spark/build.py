@@ -328,6 +328,8 @@ def incremental_build(
     n_shards: int | None = None,
     parallel: bool = True,
     mode: str = "full",
+    strategy: str = "shards",
+    auto_compact_ratio: float | None = None,
 ) -> BuildInfo:
     """Staleness-gated re-index — the reference's ``last_crawled`` gate
     (services/indexer/main.py:140-143) over content identity: a doc whose
@@ -369,7 +371,10 @@ def incremental_build(
         # stable-id warehouse: the shard-scoped O(churn) path owns it
         from .stable import incremental_build_stable
 
-        return incremental_build_stable(spark, docs, wh, mode=mode, parallel=parallel)
+        return incremental_build_stable(
+            spark, docs, wh, mode=mode, parallel=parallel,
+            strategy=strategy, auto_compact_ratio=auto_compact_ratio,
+        )
 
     import time as _time
 

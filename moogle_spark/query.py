@@ -45,6 +45,7 @@ from pyspark.sql.window import Window
 from . import codec
 from .analyzer import tokenize_query
 from .scoring import bm25_idf, bm25_tfpart
+from .segments import TOMB
 from .tables import FORMAT_VERSION, Warehouse
 
 RESULT_SCHEMA = "shard int, doc_id long, score double, match_count int"
@@ -79,6 +80,26 @@ class SearchEngine:
         self.postings = self.wh.read(spark, "postings")
         self.term_stats = self.wh.read(spark, "term_stats")
         self.doc_stats = self.wh.read(spark, "doc_stats")
+        # segmented warehouse (segments.py): fold the tombstones into the
+        # postings as per-shard mask rows under the reserved TOMB term —
+        # each shard group's scorer then receives its own dead-id mask
+        # with no broadcast and no per-query extra job; doc_stats hides
+        # dead rows so direct metadata consumers see the live corpus.
+        self._has_tomb = False
+        if self.wh.is_committed("tombstones") and int(
+            self.wh.manifest("tombstones").get("n_tombs", 0)
+        ) > 0:
+            from .segments import tombstone_mask_rows
+
+            self.postings = self.postings.unionByName(
+                tombstone_mask_rows(spark, self.wh)
+            )
+            self.doc_stats = self.doc_stats.join(
+                self.wh.read(spark, "tombstones").select("doc_id"),
+                "doc_id",
+                "left_anti",
+            )
+            self._has_tomb = True
         self._sharded = False
         if cache:
             # pre-partition by shard once and cache; queries then score via
@@ -109,6 +130,19 @@ class SearchEngine:
         self._fuzzy_cache = None
 
     # ------------------------------------------------------------------
+    def _candidates(self, terms: list[str], with_df: bool = True) -> DataFrame:
+        """Postings rows for the query's terms (plus, on a segmented
+        warehouse, each shard's TOMB mask rows — hence the LEFT join
+        there: mask rows have no term_stats entry, and neither does a
+        term whose live df hit 0, whose posting rows are then dropped in
+        the scorer as fully masked)."""
+        flt = list(terms) + ([TOMB] if self._has_tomb else [])
+        cand = self.postings.filter(F.col("term").isin(flt))
+        if not with_df:
+            return cand
+        ts = F.broadcast(self.term_stats.filter(F.col("term").isin(list(terms))))
+        return cand.join(ts, "term", "left" if self._has_tomb else "inner")
+
     def term_dfs(self, terms: list[str]) -> dict[str, int]:
         if not terms:
             return {}
@@ -149,8 +183,7 @@ class SearchEngine:
         # is ONE Spark job before the k-row merge.  Terms absent from the
         # index simply contribute no rows; idf is recomputed per shard
         # from the exact integer df, bit-identical to the oracle.
-        ts = F.broadcast(self.term_stats.filter(F.col("term").isin(terms)))
-        cand = self.postings.filter(F.col("term").isin(terms)).join(ts, "term")
+        cand = self._candidates(terms)
         keff = page * k
         fn = _make_scorer(self.n_docs, self.avgdl, keff, mode)
         if self._sharded:
@@ -219,8 +252,7 @@ class SearchEngine:
         )
         if not all_terms:
             return self.spark.createDataFrame([], empty_schema)
-        ts = F.broadcast(self.term_stats.filter(F.col("term").isin(all_terms)))
-        cand = self.postings.filter(F.col("term").isin(all_terms)).join(ts, "term")
+        cand = self._candidates(all_terms)
         fn = _make_multi_scorer(qterms, self.n_docs, self.avgdl, k, mode)
         if self._sharded:
             scored = cand.mapInPandas(_partition_scorer(fn), MULTI_RESULT_SCHEMA)
@@ -285,7 +317,7 @@ class SearchEngine:
         if any(dfs.get(t, 0) == 0 for t in uniq):
             return self._empty(enrich)
         idf = {t: float(bm25_idf(self.n_docs, dfs[t])) for t in uniq}
-        cand = self.postings.filter(F.col("term").isin(uniq))
+        cand = self._candidates(uniq, with_df=False)
         fn = _make_phrase_scorer(terms, idf, self.avgdl, k)
         if self._sharded:
             scored = cand.mapInPandas(_partition_scorer(fn), RESULT_SCHEMA)
@@ -323,6 +355,36 @@ class SearchEngine:
 # ---------------------------------------------------------------------------
 
 
+def _mask_keep(ids: np.ndarray, mask: np.ndarray) -> np.ndarray:
+    """Boolean keep-vector: True where ``ids`` is NOT in ``mask``.  Both
+    arrays are sorted unique int64 (decoded doc_id streams), so one
+    searchsorted beats np.isin's internal re-sort."""
+    idx = np.searchsorted(mask, ids)
+    idx[idx == mask.size] = mask.size - 1
+    return mask[idx] != ids
+
+
+def _split_tomb(pdf: pd.DataFrame):
+    """Split a shard group's TOMB mask rows (segments.py tombstones) from
+    its real posting rows.  Returns (posting_rows, dead_ids | None) with
+    dead_ids sorted unique.  Scorers drop masked doc_ids at DECODE time —
+    before any top-k/threshold maintenance — so block-max WAND pruning
+    stays exact on a segmented warehouse (a dead doc can only loosen a
+    block bound, never let a live doc be pruned)."""
+    tm = pdf["term"].to_numpy() == TOMB
+    if not tm.any():
+        return pdf, None
+    tomb = pdf[tm]
+    mask = np.concatenate(
+        [
+            codec.decode_doc_ids(b, int(n))
+            for b, n in zip(tomb["doc_ids"], tomb["n_docs"])
+        ]
+    )
+    mask.sort()  # chunks are sorted, but row arrival order is not
+    return pdf[~tm], mask
+
+
 def _partition_scorer(shard_fn):
     """Wrap a per-shard scorer for mapInPandas: concatenate the
     partition's Arrow batches (a shard's rows may span batches), then
@@ -343,22 +405,30 @@ def _partition_scorer(shard_fn):
 
 def _make_scorer(n_docs: int, avgdl: float, k: int, mode: str):
     def score_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["shard", "doc_id", "score", "match_count"]
         if len(pdf) == 0:
-            return pd.DataFrame(columns=["shard", "doc_id", "score", "match_count"])
+            return pd.DataFrame(columns=cols)
+        shard = int(pdf["shard"].iloc[0])
+        pdf, mask = _split_tomb(pdf)
+        if mask is not None:
+            # a term whose LIVE df hit 0 has no term_stats row (left join
+            # -> null df); all its postings are dead, drop the rows
+            pdf = pdf[pdf["df"].notna()]
+        if len(pdf) == 0:
+            return pd.DataFrame(columns=cols)
         # idf from the joined df column (one value per term, exact ints)
         dfs = dict(zip(pdf["term"], pdf["df"]))
         idf = {t: float(bm25_idf(n_docs, int(d))) for t, d in dfs.items()}
         terms_sorted = sorted(idf)
-        shard = int(pdf["shard"].iloc[0])
         lo = int(pdf["first_doc"].min())
         span = int(pdf["last_doc"].max()) - lo + 1
         if mode == "exhaustive":
             docs, scores, matches = _score_exhaustive(
-                pdf, terms_sorted, idf, avgdl, lo, span, k
+                pdf, terms_sorted, idf, avgdl, lo, span, k, mask
             )
         else:
             docs, scores, matches = _score_bmw(
-                pdf, terms_sorted, idf, avgdl, lo, span, k
+                pdf, terms_sorted, idf, avgdl, lo, span, k, mask
             )
         return pd.DataFrame(
             {
@@ -383,6 +453,11 @@ def _make_multi_scorer(qterms: list[list[str]], n_docs: int, avgdl: float, k: in
         if len(pdf) == 0:
             return pd.DataFrame(columns=cols)
         shard = int(pdf["shard"].iloc[0])
+        pdf, mask = _split_tomb(pdf)
+        if mask is not None:
+            pdf = pdf[pdf["df"].notna()]  # live df hit 0: fully masked
+        if len(pdf) == 0:
+            return pd.DataFrame(columns=cols)
         dfs = dict(zip(pdf["term"], pdf["df"]))
         by_term = {t: g for t, g in pdf.groupby("term", sort=False)}
         outs: list[pd.DataFrame] = []
@@ -400,7 +475,7 @@ def _make_multi_scorer(qterms: list[list[str]], n_docs: int, avgdl: float, k: in
             lo = int(sub["first_doc"].min())
             span = int(sub["last_doc"].max()) - lo + 1
             f = _score_exhaustive if mode == "exhaustive" else _score_bmw
-            docs, scores, matches = f(sub, terms_sorted, idf, avgdl, lo, span, k)
+            docs, scores, matches = f(sub, terms_sorted, idf, avgdl, lo, span, k, mask)
             if len(docs):
                 outs.append(
                     pd.DataFrame(
@@ -438,6 +513,9 @@ def _make_phrase_scorer(terms_ordered: list[str], idf: dict[str, float], avgdl: 
         if len(pdf) == 0:
             return pd.DataFrame(columns=cols)
         shard = int(pdf["shard"].iloc[0])
+        pdf, mask = _split_tomb(pdf)
+        if len(pdf) == 0:
+            return pd.DataFrame(columns=cols)
         # pass 1: decode doc_ids RAREST-TERM-FIRST with block-range
         # pre-intersection: rarity is estimated from block metadata alone
         # (Σ n_docs — no decode), the rarest term's blocks decode fully,
@@ -475,11 +553,14 @@ def _make_phrase_scorer(terms_ordered: list[str], idf: dict[str, float], avgdl: 
             ]
             blk_dec[t] = (keep, ids_list)
             tdocs = np.unique(np.concatenate(ids_list))
-            cands = (
-                tdocs
-                if cands is None
-                else np.intersect1d(cands, tdocs, assume_unique=True)
-            )
+            if cands is None:
+                # dead ids leave the candidate set here, before any other
+                # term decodes — masked docs cost nothing downstream
+                if mask is not None:
+                    tdocs = tdocs[_mask_keep(tdocs, mask)]
+                cands = tdocs
+            else:
+                cands = np.intersect1d(cands, tdocs, assume_unique=True)
             if cands.size == 0:
                 return pd.DataFrame(columns=cols)
         # pass 2: decode positions (and dls) ONLY for blocks holding a
@@ -574,7 +655,7 @@ def _topk_select(local_hits: np.ndarray, scores: np.ndarray, matches: np.ndarray
     return (sel + lo).astype(np.int64), scores[sel], matches[sel]
 
 
-def _score_exhaustive(pdf, terms_sorted, idf, avgdl, lo, span, k):
+def _score_exhaustive(pdf, terms_sorted, idf, avgdl, lo, span, k, mask=None):
     scores = np.zeros(span, dtype=np.float64)
     matches = np.zeros(span, dtype=np.int64)
     by_term = {t: g for t, g in pdf.groupby("term", sort=False)}
@@ -591,6 +672,12 @@ def _score_exhaustive(pdf, terms_sorted, idf, avgdl, lo, span, k):
             ids = codec.decode_doc_ids(ids_b, n)
             tfs = codec.decode_tfs(tfs_b, n)
             dls = codec.varint_decode(dls_b, n)
+            if mask is not None:
+                keep = _mask_keep(ids, mask)
+                if not keep.all():
+                    ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
+                    if ids.size == 0:
+                        continue
             loc = ids - lo
             scores[loc] += w * bm25_tfpart(tfs, dls, avgdl)
             matches[loc] += 1
@@ -600,13 +687,19 @@ def _score_exhaustive(pdf, terms_sorted, idf, avgdl, lo, span, k):
     return _topk_select(hits, scores, matches, lo, k)
 
 
-def _score_bmw(pdf, terms_sorted, idf, avgdl, lo, span, k):
+def _score_bmw(pdf, terms_sorted, idf, avgdl, lo, span, k, mask=None):
     """Segment-form block-max WAND. Doc space is cut at every block
     boundary; each segment's bound = Σ over terms of the overlapping
     block's idf*tfpart(max_tf, min_dl, avgdl). Segments are scored (exactly, in ascending
     term order) in descending-bound order; once k results exist and the
     next bound < kth score, remaining segments cannot place (strictly —
-    so tie-breaking matches exhaustive)."""
+    so tie-breaking matches exhaustive).
+
+    ``mask`` (segmented warehouse): sorted dead doc_ids, dropped at
+    decode time — before the heap/threshold ever sees them, so pruning
+    decisions are made on live scores only.  A dead doc left inside a
+    block's stored (max_tf, min_dl) can only RAISE that block's upper
+    bound, which remains a valid bound for its live docs."""
     blocks: list[tuple] = []  # (term_rank, lo, hi, ub, ids_bin, tfs_bin, dls_bin, n)
     for rank_t, t in enumerate(terms_sorted):
         g = pdf[pdf["term"] == t]
@@ -685,12 +778,17 @@ def _score_bmw(pdf, terms_sorted, idf, avgdl, lo, span, k):
             bi = int(bi)
             b = blocks[bi]
             if bi not in decoded:
-                decoded[bi] = (
-                    codec.decode_doc_ids(b[4], b[7]),
-                    codec.decode_tfs(b[5], b[7]),
-                    codec.varint_decode(b[6], b[7]),
-                )
+                ids = codec.decode_doc_ids(b[4], b[7])
+                tfs = codec.decode_tfs(b[5], b[7])
+                dls = codec.varint_decode(b[6], b[7])
+                if mask is not None:
+                    keep = _mask_keep(ids, mask)
+                    if not keep.all():
+                        ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
+                decoded[bi] = (ids, tfs, dls)
             ids, tfs, dls = decoded[bi]
+            if ids.size == 0:
+                continue
             m = (ids >= seg_lo) & (ids <= seg_hi)
             if not m.any():
                 continue

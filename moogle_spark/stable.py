@@ -79,7 +79,15 @@ _DELTA_TABLES = [
     ("postings", "postings_delta"),
     ("doc_lens", "doc_lens_delta"),
 ]
-_STAGING = [d for _, d in _DELTA_TABLES] + ["term_stats_next", "corpus_stats_next"]
+_STAGING = [d for _, d in _DELTA_TABLES] + [
+    "term_stats_next", "corpus_stats_next", "tombstones_next",
+]
+# "auto" strategy: take the segment path once this fraction of shards is
+# touched — below it, the shard-swap's downstream cost (∝ touched-shard
+# bytes) beats the segment path's query-time overhead accumulation;
+# above it, shard-swap degenerates toward a full rebuild (BENCH.md
+# round-4 uniform-churn row) while the segment path stays O(churn).
+SEG_AUTO_FRAC = 0.25
 
 
 def stable_shard_col(n_shards: int):
@@ -168,6 +176,69 @@ def _shard_grouped(df: DataFrame, n_shards: int) -> DataFrame:
     return df.repartition(nparts, "shard").sortWithinPartitions("shard", *KEYS)
 
 
+def _delta_term_stats(
+    spark: SparkSession,
+    wh: Warehouse,
+    changed_an: DataFrame,
+    gone: DataFrame,
+    new_build_id: str,
+) -> int:
+    """term_stats delta: df' = df + count(new docs' terms)
+                                   - count(removed/replaced docs' terms)
+    (unchanged docs — even in touched shards — contribute no df change.)
+    Same two-phase salted shape as the full build for hot-term hygiene.
+    Writes ``term_stats_next`` (committed) and returns its n_terms."""
+    from pyspark.sql import Observation
+
+    def term_counts(df: DataFrame, out: str) -> DataFrame:
+        ex = df.select(
+            F.explode("terms").alias("term"),
+            F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(NSALT)).alias("salt"),
+        )
+        partial = ex.groupBy("term", "salt").agg(F.count(F.lit(1)).alias("c"))
+        return partial.groupBy("term").agg(F.sum("c").cast("long").alias(out))
+
+    ts = wh.read(spark, "term_stats")
+    merged = (
+        ts.join(term_counts(changed_an, "cn"), "term", "full")
+        .join(term_counts(gone, "cg"), "term", "full")
+        .select(
+            "term",
+            (
+                F.coalesce(F.col("df"), F.lit(0))
+                + F.coalesce(F.col("cn"), F.lit(0))
+                - F.coalesce(F.col("cg"), F.lit(0))
+            ).cast("long").alias("df"),
+        )
+        .filter(F.col("df") > 0)
+    )
+    obs = Observation("term_stats_next")
+    merged = merged.observe(obs, F.count(F.lit(1)).alias("n_terms"))
+    wh.write(
+        merged,
+        "term_stats_next",
+        stage="term_stats",
+        sort_by=["term"],
+        meta={"analyzed_ref": new_build_id},
+        meta_fn=lambda: {"n_terms": int(obs.get["n_terms"])},
+    )
+    return int(wh.manifest("term_stats_next")["n_terms"])
+
+
+def _write_corpus_next(
+    wh: Warehouse, n_docs: int, sum_dl: int, n_terms: int, new_build_id: str
+) -> None:
+    import pyarrow as pa
+
+    wh.write_local(
+        [{"n_docs": int(n_docs), "sum_dl": int(sum_dl), "n_terms": int(n_terms)}],
+        {"n_docs": pa.int64(), "sum_dl": pa.int64(), "n_terms": pa.int64()},
+        "corpus_stats_next",
+        stage="corpus_stats",
+        meta={"analyzed_ref": new_build_id},
+    )
+
+
 def _stage_analyzed_stable(
     spark: SparkSession,
     docs: DataFrame,
@@ -208,12 +279,25 @@ def _stage_analyzed_stable(
     wh.append_lineage_rows(dst, list(lin_acc.value.values()))
 
 
+def _segmented(wh: Warehouse) -> bool:
+    """True if the warehouse carries Lucene-style segments/tombstones
+    (segments.py) on top of the base stable index."""
+    if int(wh.manifest("analyzed").get("max_gen", 0)) > 0:
+        return True
+    return (
+        wh.is_committed("tombstones")
+        and int(wh.manifest("tombstones").get("n_tombs", 0)) > 0
+    )
+
+
 def incremental_build_stable(
     spark: SparkSession,
     docs: DataFrame,
     wh: str | Warehouse,
     mode: str = "full",
     parallel: bool = True,
+    strategy: str = "shards",
+    auto_compact_ratio: float | None = None,
 ) -> BuildInfo:
     """Shard-scoped incremental over a stable-id warehouse: tokenizes only
     changed docs (sha+lang gate), rebuilds only the shards containing a
@@ -222,9 +306,30 @@ def incremental_build_stable(
 
     The result is bit-identical to a from-scratch stable build over the
     same corpus (ranks within a shard depend only on that shard's final
-    membership) — asserted in tests/test_stable_incremental.py."""
+    membership) — asserted in tests/test_stable_incremental.py.
+
+    ``strategy`` picks the downstream-update shape:
+      "shards"  — replace every TOUCHED shard's partitions (this module).
+                  Cost ∝ touched-shard bytes: ideal for clustered churn,
+                  degenerates to a full downstream rebuild when churn is
+                  uniform (every shard touched).
+      "segment" — write the changed docs as a new GENERATION plus
+                  tombstones (segments.py, the Lucene segment model):
+                  cost O(churn) for ANY churn distribution; query-time
+                  overhead accumulates until compact_segments().
+      "auto"    — "segment" when the warehouse already has segments or
+                  > SEG_AUTO_FRAC of shards are touched, else "shards".
+    A warehouse that already carries segments stays on the segment path
+    unless strategy="shards", which compacts first (the shard-swap
+    machinery is only sound on a segment-free base).
+    ``auto_compact_ratio``: after a segment run, compact when tombstones
+    exceed this fraction of live docs (None = never auto-compact)."""
     if mode not in ("full", "upsert"):
         raise ValueError(f"mode={mode!r} must be 'full' or 'upsert'")
+    if strategy not in ("shards", "segment", "auto"):
+        raise ValueError(
+            f"strategy={strategy!r} must be 'shards', 'segment' or 'auto'"
+        )
     wh = wh if isinstance(wh, Warehouse) else Warehouse(wh)
     from .build import FORMAT_VERSION, build_index
 
@@ -240,12 +345,28 @@ def incremental_build_stable(
         return build_index(
             spark, docs, wh, parallel=parallel, doc_id_mode="stable"
         )
+    segmented = _segmented(wh)
     # delta swaps graft new shard partitions onto the COMMITTED downstream
     # tables — that is only sound if those tables are present, current-
     # format, and built from THIS analyzed.  Heal any gap first (skips the
-    # committed analyzed, rebuilds exactly the non-current stages).
+    # committed analyzed, rebuilds exactly the non-current stages) — but
+    # NOT on a segmented warehouse: build_index's stage plans aggregate
+    # the raw analyzed table, which still holds tombstoned rows, so its
+    # term_stats/corpus_stats would count dead docs.  There the safe
+    # direction is a full from-scratch rebuild of the incoming corpus.
     if not all(_downstream_current(wh, t) for t in DOWNSTREAM_STAGES):
+        if segmented:
+            for t in ["analyzed", "tombstones", *DOWNSTREAM_STAGES]:
+                wh.drop(t)
+            return build_index(spark, docs, wh, parallel=parallel, doc_id_mode="stable")
         build_index(spark, docs, wh, parallel=parallel, doc_id_mode="stable")
+    if segmented and strategy == "shards":
+        # shard-swap assumes a segment-free base (its per-shard re-rank
+        # would collide with live segment rows of the same base shard)
+        from .segments import compact_segments
+
+        compact_segments(spark, wh)
+        segmented = False
     man = wh.manifest("analyzed")
     n_shards = int(man["n_shards"])
     t0 = time.time()
@@ -257,6 +378,12 @@ def incremental_build_stable(
         wh.drop(t)
 
     old = wh.read(spark, "analyzed")
+    if segmented:
+        # the gate must see the LIVE corpus: physical analyzed rows minus
+        # tombstoned doc_ids (a dead row's key/sha must not mask a re-add)
+        from .segments import live_analyzed
+
+        old = live_analyzed(spark, wh)
     incoming = docs.withColumn("content_sha256", _sha_col())
     changed = incoming.join(old.select(*GATE), GATE, "left_anti").withColumn(
         "shard", stable_shard_col(n_shards)
@@ -347,10 +474,27 @@ def incremental_build_stable(
 
     wh.append_lineage_rows("incremental_tokenize", list(tok_acc.value.values()))
 
+    def _to_segment() -> BuildInfo:
+        from .segments import segment_tail
+
+        return segment_tail(
+            spark, wh, changed_an, gone,
+            n_changed, dl_changed, n_gone, dl_gone,
+            stage_secs, auto_compact_ratio,
+        )
+
+    if segmented or strategy == "segment":
+        # a segmented warehouse stays segmented (shard-swap would collide
+        # with live segment rows); explicit "segment" skips the touched-
+        # shard census entirely
+        return _to_segment()
+
     touched = sorted(
         {int(r["shard"]) for r in changed_an.select("shard").distinct().collect()}
         | {int(r["shard"]) for r in gone.select("shard").distinct().collect()}
     )
+    if strategy == "auto" and len(touched) >= SEG_AUTO_FRAC * n_shards:
+        return _to_segment()
     n_docs_new = int(man["n_docs"]) - n_gone + n_changed
     sum_dl_new = int(man["sum_dl"]) - dl_gone + dl_changed
     new_build_id = uuid.uuid4().hex
@@ -412,57 +556,10 @@ def incremental_build_stable(
     wh.append_lineage_rows("analyzed", wh.footer_lineage_rows("analyzed_delta"))
     stage_secs["analyzed"] = round(time.time() - t1, 2)
 
-    # ---- term_stats delta: df' = df + count(new docs' terms)
-    #                                  - count(removed/replaced docs' terms)
-    # (unchanged docs — even in touched shards — contribute no df change.)
-    # Same two-phase salted shape as the full build for hot-term hygiene.
     t1 = time.time()
-    from pyspark.sql import Observation
-
-    def term_counts(df: DataFrame, out: str) -> DataFrame:
-        ex = df.select(
-            F.explode("terms").alias("term"),
-            F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(NSALT)).alias("salt"),
-        )
-        partial = ex.groupBy("term", "salt").agg(F.count(F.lit(1)).alias("c"))
-        return partial.groupBy("term").agg(F.sum("c").cast("long").alias(out))
-
-    ts = wh.read(spark, "term_stats")
-    merged = (
-        ts.join(term_counts(changed_an, "cn"), "term", "full")
-        .join(term_counts(gone, "cg"), "term", "full")
-        .select(
-            "term",
-            (
-                F.coalesce(F.col("df"), F.lit(0))
-                + F.coalesce(F.col("cn"), F.lit(0))
-                - F.coalesce(F.col("cg"), F.lit(0))
-            ).cast("long").alias("df"),
-        )
-        .filter(F.col("df") > 0)
-    )
-    obs = Observation("term_stats_next")
-    merged = merged.observe(obs, F.count(F.lit(1)).alias("n_terms"))
-    wh.write(
-        merged,
-        "term_stats_next",
-        stage="term_stats",
-        sort_by=["term"],
-        meta={"analyzed_ref": new_build_id},
-        meta_fn=lambda: {"n_terms": int(obs.get["n_terms"])},
-    )
-    n_terms = int(wh.manifest("term_stats_next")["n_terms"])
+    n_terms = _delta_term_stats(spark, wh, changed_an, gone, new_build_id)
     stage_secs["term_stats"] = round(time.time() - t1, 2)
-
-    import pyarrow as pa
-
-    wh.write_local(
-        [{"n_docs": n_docs_new, "sum_dl": sum_dl_new, "n_terms": n_terms}],
-        {"n_docs": pa.int64(), "sum_dl": pa.int64(), "n_terms": pa.int64()},
-        "corpus_stats_next",
-        stage="corpus_stats",
-        meta={"analyzed_ref": new_build_id},
-    )
+    _write_corpus_next(wh, n_docs_new, sum_dl_new, n_terms, new_build_id)
 
     # ---- downstream deltas over the touched shards only
     delta_df = wh.read(spark, "analyzed_delta")

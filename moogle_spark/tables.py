@@ -209,6 +209,8 @@ class Warehouse:
         for src, dst in plan.get("promotes", []):
             if self.is_committed(src):
                 self.promote(src, dst)
+        for name in plan.get("drops", []):
+            shutil.rmtree(self.path(name), ignore_errors=True)
         for name, man in plan.get("manifests", {}).items():
             mtmp = os.path.join(self.path(name), MANIFEST + ".tmp")
             with open(mtmp, "w") as f:

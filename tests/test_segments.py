@@ -1,0 +1,300 @@
+"""Lucene-segment-style incremental (segments.py): O(churn) for ANY
+churn shape, exact query results via tombstone masks.
+
+The shard-scoped path (test_stable_incremental.py) re-encodes touched
+shards, so uniform churn degenerates to a full downstream rebuild.  The
+segment path writes churn as a new GENERATION (extra shard partitions)
+plus per-shard tombstones, leaving every base partition byte-untouched.
+These tests prove:
+  * segmented search results (bmw, exhaustive, search_many, phrase) are
+    identical to a from-scratch stable build of the live corpus,
+  * the base partitions are NOT rewritten — O(churn) regardless of how
+    the churn spreads over shards,
+  * deletes take effect (a fully-dead term returns nothing and has no
+    term_stats row) and a deleted doc can be re-added (the staleness
+    gate reads the LIVE corpus, not the physical rows),
+  * multi-generation stacking works, including tombstoning a doc that
+    itself lives in an earlier generation,
+  * compact_segments folds everything back bit-identically to a
+    from-scratch stable build of the live corpus,
+  * strategy="auto" picks segments for uniform churn and shard-swap for
+    clustered churn; auto_compact_ratio triggers compaction,
+  * the single _TXN journal makes the segment swap kill-safe.
+
+To keep suite time sane the expensive from-scratch builds are shared:
+the v1 base is built once and copied per test (byte-valid — the
+warehouse is a plain directory), the v2 scratch is a module fixture.
+"""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+from test_stable_incremental import (
+    N_DOCS,
+    N_SHARDS,
+    _decoded_postings_fp,
+    _docs_v1,
+    _docs_v2,
+    _snapshot_files,
+    _table_rows_fp,
+)
+
+QUERIES = [
+    "hotterm0 hotterm1",
+    "def return import",
+    "uniqdoc7x",
+    "freshchurntoken",          # exists only in the churned docs
+    "brandnew zephyr",          # exists only in the 20 new docs
+]
+
+
+@pytest.fixture(scope="module")
+def base_v1(spark, tmp_path_factory):
+    """From-scratch stable build of docs_v1, built ONCE; tests copytree
+    it before mutating.  Doubles as the v1 parity target."""
+    from moogle_spark.build import build_index
+
+    wh = str(tmp_path_factory.mktemp("segbase") / "v1")
+    build_index(spark, _docs_v1(spark), wh, n_shards=N_SHARDS, doc_id_mode="stable")
+    return wh
+
+
+@pytest.fixture(scope="module")
+def scratch_v2(spark, tmp_path_factory):
+    """From-scratch stable build of docs_v2 — the parity target."""
+    from moogle_spark.build import build_index
+
+    wh = str(tmp_path_factory.mktemp("segscr") / "v2")
+    build_index(spark, _docs_v2(spark), wh, n_shards=N_SHARDS, doc_id_mode="stable")
+    return wh
+
+
+def _clone(base: str, tmp_path, name: str) -> str:
+    dst = str(tmp_path / name)
+    shutil.copytree(base, dst)
+    return dst
+
+
+def _result_keys(eng, q, k=N_DOCS + 40, mode="bmw"):
+    return {
+        (r["repo"], r["path"], round(r["score"], 9), r["match_count"])
+        for r in eng.search(q, k=k, mode=mode, enrich=True).collect()
+    }
+
+
+def _phrase_keys(eng, q, k=N_DOCS + 40):
+    return {
+        (r["repo"], r["path"], round(r["score"], 9), r["match_count"])
+        for r in eng.search_phrase(q, k=k, enrich=True).collect()
+    }
+
+
+def _assert_engines_agree(spark, wh_seg, wh_scr):
+    from moogle_spark.query import SearchEngine
+
+    es = SearchEngine(spark, wh_seg, cache=True)   # cached path: mask rows
+    ec = SearchEngine(spark, wh_scr, cache=False)  # ride the shard persist
+    assert es.n_docs == ec.n_docs and es.sum_dl == ec.sum_dl
+    for q in QUERIES:
+        assert _result_keys(es, q) == _result_keys(ec, q), q
+    # exhaustive-mode spot check (bmw == exhaustive is pinned elsewhere)
+    q = QUERIES[0]
+    assert _result_keys(es, q, mode="exhaustive") == _result_keys(ec, q), q
+    # doc_id spaces differ between the two warehouses, so compare the
+    # batched results on (rank, score); ties share a score, so this is
+    # unambiguous
+    many = es.search_many(QUERIES, k=10)
+    for qi, q in enumerate(QUERIES):
+        got = {
+            (r["rank"], round(r["score"], 9))
+            for r in many.filter(F.col("query_id") == qi).collect()
+        }
+        want = {
+            (r["rank"], round(r["score"], 9))
+            for r in ec.search(q, k=10).collect()
+        }
+        assert got == want, q
+    assert _phrase_keys(es, "brandnew zephyr") == _phrase_keys(ec, "brandnew zephyr")
+    es.postings.unpersist()
+    es.term_stats.unpersist()
+
+
+def test_segment_run_then_compact_matches_scratch(
+    spark, tmp_path, base_v1, scratch_v2
+):
+    from moogle_spark.build import incremental_build
+    from moogle_spark.segments import compact_segments
+    from moogle_spark.tables import Warehouse
+
+    docs_v1, docs_v2 = _docs_v1(spark), _docs_v2(spark)
+    wh_seg = _clone(base_v1, tmp_path, "seg")
+    before = {
+        t: _snapshot_files(os.path.join(wh_seg, t))
+        for t in ["analyzed", "postings", "doc_stats", "doc_lens"]
+    }
+
+    info = incremental_build(spark, docs_v2, wh_seg, strategy="segment")
+    assert "tombstones" in info.stages_run
+
+    wh = Warehouse(wh_seg)
+    assert int(wh.manifest("analyzed")["max_gen"]) == 1
+    assert int(wh.manifest("analyzed")["n_docs"]) == docs_v2.count()
+    # tombstones == v1 rows replaced or removed, computed independently
+    same = docs_v1.withColumn(
+        "sha", F.sha2(F.encode(F.col("content"), "utf-8"), 256)
+    ).join(
+        docs_v2.withColumn(
+            "sha", F.sha2(F.encode(F.col("content"), "utf-8"), 256)
+        ).select("repo", "path", "commit", "lang", "sha"),
+        ["repo", "path", "commit", "lang", "sha"],
+        "left_semi",
+    )
+    n_gone = N_DOCS - same.count()
+    assert int(wh.manifest("tombstones")["n_tombs"]) == n_gone > 0
+
+    # THE POINT: no base partition of any table was rewritten — the run
+    # cost O(churn) even though the churn touched many shards
+    after = {
+        t: _snapshot_files(os.path.join(wh_seg, t))
+        for t in ["analyzed", "postings", "doc_stats", "doc_lens"]
+    }
+    for t, snap in before.items():
+        for rel, sig in snap.items():
+            if rel.startswith("shard="):
+                assert after[t].get(rel) == sig, f"{t}/{rel} was rewritten"
+
+    # the tokenizer gate: only changed/new docs ran the analyzer
+    changed = docs_v2.join(
+        docs_v1.withColumn(
+            "sha", F.sha2(F.encode(F.col("content"), "utf-8"), 256)
+        ).select("repo", "path", "commit", "lang", "sha"),
+        ["repo", "path", "commit", "lang"],
+        "left",
+    ).filter(
+        F.col("sha").isNull()
+        | (F.col("sha") != F.sha2(F.encode(F.col("content"), "utf-8"), 256))
+    )
+    lin = (
+        wh.lineage(spark)
+        .filter(F.col("stage") == "incremental_tokenize")
+        .agg(F.sum("doc_count"))
+        .collect()[0][0]
+    )
+    assert int(lin) == changed.count()
+
+    _assert_engines_agree(spark, wh_seg, scratch_v2)
+
+    # ---- compaction folds it back bit-identically to from-scratch
+    info = compact_segments(spark, wh_seg)
+    assert "postings" in info.stages_run
+    wh = Warehouse(wh_seg)
+    assert int(wh.manifest("analyzed").get("max_gen", 0)) == 0
+    assert not wh.is_committed("tombstones")
+    for t in ["analyzed", "postings", "doc_stats", "doc_lens"]:
+        shards = [
+            int(d.split("=", 1)[1])
+            for d in os.listdir(os.path.join(wh_seg, t))
+            if d.startswith("shard=")
+        ]
+        assert max(shards) < N_SHARDS, t
+    assert _decoded_postings_fp(spark, wh_seg) == _decoded_postings_fp(
+        spark, scratch_v2
+    )
+    for t in ["analyzed", "doc_stats", "doc_lens", "term_stats", "corpus_stats"]:
+        assert _table_rows_fp(spark, wh_seg, t) == _table_rows_fp(
+            spark, scratch_v2, t
+        ), t
+
+    # compacting a segment-free warehouse is a no-op
+    assert compact_segments(spark, wh_seg).stages_run == []
+
+
+def test_multi_generation_readd_and_dead_terms(spark, tmp_path, base_v1):
+    """v1 -> v2 (gen 1) -> v1 again (gen 2): re-adds deleted docs past
+    the gate, reverts changed docs, and tombstones gen-1 rows (the 20
+    .newdoc docs die where they live — inside generation-1 shards)."""
+    from moogle_spark.build import incremental_build
+    from moogle_spark.query import SearchEngine
+    from moogle_spark.tables import Warehouse
+
+    docs_v1, docs_v2 = _docs_v1(spark), _docs_v2(spark)
+    wh_seg = _clone(base_v1, tmp_path, "seg")
+    incremental_build(spark, docs_v2, wh_seg, strategy="segment")
+    incremental_build(spark, docs_v1, wh_seg, strategy="segment")
+
+    wh = Warehouse(wh_seg)
+    assert int(wh.manifest("analyzed")["max_gen"]) == 2
+    assert int(wh.manifest("analyzed")["n_docs"]) == N_DOCS
+
+    # parity target: the untouched v1 base itself
+    _assert_engines_agree(spark, wh_seg, base_v1)
+
+    # fully-dead vocabulary: every v2-only term's df hit 0, so its
+    # term_stats row is gone and its (masked) postings score nothing
+    es = SearchEngine(spark, wh_seg, cache=False)
+    for q in ["freshchurntoken", "brandnew"]:
+        assert es.term_dfs([q]) == {}
+        assert es.search(q, k=10).count() == 0
+        assert es.search_phrase(q, k=10).count() == 0
+
+
+def test_auto_strategy_and_auto_compact(spark, tmp_path, base_v1):
+    from moogle_spark.build import build_index, incremental_build
+    from moogle_spark.tables import Warehouse
+
+    docs_v1 = _docs_v1(spark)
+    wh = _clone(base_v1, tmp_path, "wh")
+
+    # clustered churn (one doc) -> auto picks the shard-swap path
+    one = docs_v1.orderBy("path").limit(1).withColumn(
+        "content", F.concat(F.col("content"), F.lit(" clusterchurn"))
+    )
+    clustered = docs_v1.join(one.select("path"), "path", "left_anti").unionByName(one)
+    info = incremental_build(spark, clustered, wh, strategy="auto")
+    assert "tombstones" not in info.stages_run and "analyzed" in info.stages_run
+    assert not Warehouse(wh).is_committed("tombstones")
+
+    # uniform churn (every doc) -> auto picks segments, and
+    # auto_compact_ratio=0.01 folds them straight back down
+    uniform = clustered.withColumn(
+        "content", F.concat(F.col("content"), F.lit(" uniformchurn"))
+    )
+    info = incremental_build(
+        spark, uniform, wh, strategy="auto", auto_compact_ratio=0.01
+    )
+    assert "tombstones" in info.stages_run and "compact" in info.stages_run
+    wh_o = Warehouse(wh)
+    assert int(wh_o.manifest("analyzed").get("max_gen", 0)) == 0
+    assert not wh_o.is_committed("tombstones")
+
+    wh_scr = str(tmp_path / "scratch")
+    build_index(spark, uniform, wh_scr, n_shards=N_SHARDS, doc_id_mode="stable")
+    assert _decoded_postings_fp(spark, wh) == _decoded_postings_fp(spark, wh_scr)
+    for t in ["analyzed", "term_stats", "corpus_stats"]:
+        assert _table_rows_fp(spark, wh, t) == _table_rows_fp(spark, wh_scr, t), t
+
+
+def test_segment_txn_journal_recovery(spark, tmp_path, base_v1, scratch_v2, monkeypatch):
+    """Kill right after the segment swap's begin_txn: the journal exists,
+    nothing applied; any later Warehouse() finishes the swap and the
+    result equals an uninterrupted segment run."""
+    from moogle_spark.build import incremental_build
+    from moogle_spark.tables import Warehouse
+
+    docs_v2 = _docs_v2(spark)
+    wh_path = _clone(base_v1, tmp_path, "wh")
+
+    monkeypatch.setattr(Warehouse, "recover_txn", lambda self: False)
+    incremental_build(spark, docs_v2, wh_path, strategy="segment")
+    monkeypatch.undo()
+
+    assert os.path.exists(os.path.join(wh_path, "_TXN.json"))
+    Warehouse(wh_path)  # __init__ replays the journal to completion
+    assert not os.path.exists(os.path.join(wh_path, "_TXN.json"))
+
+    wh = Warehouse(wh_path)
+    assert int(wh.manifest("analyzed")["max_gen"]) == 1
+    assert wh.is_committed("tombstones")
+    _assert_engines_agree(spark, wh_path, scratch_v2)

@@ -16,6 +16,13 @@ Measures, on a 200k-doc corpus:
     hiding it behind the clustered number.
   * rank-mode incremental under the same uniform churn — the previous
     round's path (O(corpus) downstream ALWAYS), as the comparator.
+  * SEGMENT-strategy incremental under the same uniform churn
+    (segments.py): the churn lands as a new generation + tombstones,
+    NO base partition is rewritten, so wall time is O(churn) even when
+    every shard is touched — this is the row that removes the uniform-
+    churn cliff.  Also measured: query p50 on the segmented warehouse
+    vs the compacted one (the tombstone-mask overhead) and the
+    compact_segments fold-back time.
 
 Usage: python tools/incremental_bench.py [n_docs] [n_shards]
        (default 200000, 256)
@@ -84,8 +91,9 @@ def main() -> None:
         spark, docs_v1, f"{base}/wh_cl", n_shards=n_shards, doc_id_mode="stable"
     )
     out["full_stable_build_sec"] = round(time.time() - t0, 2)
-    # same committed state for the uniform-churn run (copy, not rebuild)
+    # same committed state for the uniform-churn runs (copy, not rebuild)
     shutil.copytree(f"{base}/wh_cl", f"{base}/wh_un")
+    shutil.copytree(f"{base}/wh_cl", f"{base}/wh_seg")
 
     def churn_stats(wh_path: str) -> dict:
         lin = (
@@ -120,6 +128,48 @@ def main() -> None:
     ).select(stable_shard_col(n_shards).alias("s")).distinct().count()
     out["inc_uniform"]["touched_shards"] = int(touched_un)
 
+    # segment strategy on the SAME uniform churn: O(churn) regardless of
+    # how many shards the churn touches (no base partition rewritten)
+    t0 = time.time()
+    info = incremental_build(
+        spark, docs_uniform, f"{base}/wh_seg", strategy="segment"
+    )
+    out["inc_uniform_segment_sec"] = round(time.time() - t0, 2)
+    out["inc_uniform_segment_stages"] = info.stage_secs
+    out["inc_uniform_segment"] = churn_stats(f"{base}/wh_seg")
+    out["inc_uniform_segment"]["n_tombs"] = int(
+        Warehouse(f"{base}/wh_seg").manifest("tombstones")["n_tombs"]
+    )
+
+    # query-time mask overhead: p50 over the reference query head on the
+    # segmented warehouse vs the same warehouse compacted
+    from moogle_spark.query import SearchEngine
+
+    def p50(wh_path: str) -> float:
+        eng = SearchEngine(spark, wh_path)
+        qs = ["hotterm0 hotterm1", "def return import", "churnfreshtoken",
+              "hotterm2", "uniqdoc7x"]
+        for q in qs:  # warm the cache
+            eng.search(q, k=20).collect()
+        lats = []
+        for _ in range(3):
+            for q in qs:
+                t = time.time()
+                eng.search(q, k=20).collect()
+                lats.append(time.time() - t)
+        eng.postings.unpersist()
+        eng.term_stats.unpersist()
+        lats.sort()
+        return round(lats[len(lats) // 2], 4)
+
+    out["query_p50_segmented_sec"] = p50(f"{base}/wh_seg")
+    from moogle_spark.segments import compact_segments
+
+    t0 = time.time()
+    compact_segments(spark, f"{base}/wh_seg")
+    out["compact_sec"] = round(time.time() - t0, 2)
+    out["query_p50_compacted_sec"] = p50(f"{base}/wh_seg")
+
     # rank-mode comparator: the O(corpus)-downstream path on the same
     # uniform churn
     t0 = time.time()
@@ -134,6 +184,9 @@ def main() -> None:
     )
     out["uniform_vs_full_ratio"] = round(
         out["inc_uniform_sec"] / out["full_stable_build_sec"], 3
+    )
+    out["uniform_segment_vs_full_ratio"] = round(
+        out["inc_uniform_segment_sec"] / out["full_stable_build_sec"], 3
     )
     print(json.dumps(out))
 
