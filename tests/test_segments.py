@@ -276,6 +276,35 @@ def test_auto_strategy_and_auto_compact(spark, tmp_path, base_v1):
         assert _table_rows_fp(spark, wh, t) == _table_rows_fp(spark, wh_scr, t), t
 
 
+def test_pure_deletion_segment_run(spark, tmp_path, base_v1):
+    """mode=full with docs only REMOVED: the generation is empty (zero
+    new partitions), only tombstones + live stats change — and the
+    deleted docs vanish from full-corpus results."""
+    from moogle_spark.build import incremental_build
+    from moogle_spark.query import SearchEngine
+    from moogle_spark.tables import Warehouse
+
+    docs_v1 = _docs_v1(spark)
+    wh = _clone(base_v1, tmp_path, "wh")
+    removed_mask = F.pmod(F.xxhash64("path"), F.lit(10)) == 1
+    kept = docs_v1.filter(~removed_mask)
+    n_kept = kept.count()
+    assert n_kept < N_DOCS
+
+    info = incremental_build(spark, kept, wh, strategy="segment")
+    assert "tombstones" in info.stages_run
+    wh_o = Warehouse(wh)
+    assert int(wh_o.manifest("analyzed")["n_docs"]) == n_kept
+    assert int(wh_o.manifest("tombstones")["n_tombs"]) == N_DOCS - n_kept
+
+    eng = SearchEngine(spark, wh, cache=False)
+    assert eng.n_docs == n_kept
+    hits = eng.search("hotterm0", k=N_DOCS, enrich=True)
+    got_paths = {r["path"] for r in hits.collect()}
+    dead_paths = {r["path"] for r in docs_v1.filter(removed_mask).collect()}
+    assert got_paths and not (got_paths & dead_paths)
+
+
 def test_segment_txn_journal_recovery(spark, tmp_path, base_v1, scratch_v2, monkeypatch):
     """Kill right after the segment swap's begin_txn: the journal exists,
     nothing applied; any later Warehouse() finishes the swap and the
