@@ -342,21 +342,68 @@ def segment_tail(
 # ---------------------------------------------------------------------------
 
 
-def compact_segments(spark: SparkSession, wh: str | Warehouse) -> BuildInfo:
-    """Fold every generation + the tombstones back into the base index.
+def _family_census(
+    spark: SparkSession, wh: Warehouse, n_shards: int
+) -> tuple[dict[int, int], dict[int, int]]:
+    """Per BASE FAMILY (shard % n_shards): physical segment-row count and
+    tombstone count.  Two cheap aggregations — the dirtiness signal that
+    drives partial-compaction selection."""
+    fam = F.pmod("shard", F.lit(n_shards)).cast("int").alias("b")
+    seg = {
+        int(r["b"]): int(r["n"])
+        for r in wh.read(spark, "analyzed")
+        .filter(F.col("shard") >= n_shards)
+        .groupBy(fam)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    tomb = {}
+    if _has_tombstones(wh):
+        tomb = {
+            int(r["b"]): int(r["n"])
+            for r in wh.read(spark, "tombstones")
+            .groupBy(fam)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+    return seg, tomb
+
+
+def compact_segments(
+    spark: SparkSession,
+    wh: str | Warehouse,
+    shards: list[int] | None = None,
+    max_shards: int | None = None,
+) -> BuildInfo:
+    """Fold generations + tombstones back into the base index.
 
     Pure JVM over committed analyzed rows (no re-tokenize): the live rows
-    of every TOUCHED base shard (one holding a tombstoned row or a
-    segment row) are re-ranked per base shard — the same
-    row_number-over-(shard | keys) protocol as every other delta — and
-    their four tables' partitions swapped in; all generation partitions
-    and the tombstones table are deleted in the SAME journal.
+    of each selected base FAMILY (a base shard plus its generation
+    partitions ``gen*n_shards + b``) are re-ranked per base shard — the
+    same row_number-over-(shard | keys) protocol as every other delta —
+    and their four tables' partitions swapped in; the selected families'
+    generation partitions and tombstones are deleted in the SAME journal.
     term_stats/corpus_stats are already exact for the live corpus, so
-    only their manifests are restamped (analyzed_ref).  The result is
-    bit-identical to a from-scratch stable build of the live corpus
-    (asserted in tests/test_segments.py)."""
+    only their manifests are restamped (analyzed_ref).
+
+    Selection (the tiered-maintenance knob — at 100 TB a full compaction
+    after uniform churn rewrites every base shard, so bound each
+    maintenance window instead):
+      * default — compact EVERY dirty family (the round-4 behavior); the
+        result is bit-identical to a from-scratch stable build of the
+        live corpus (tests/test_segments.py).
+      * ``shards=[b, ...]`` — compact exactly these base families.
+      * ``max_shards=K`` — compact the K dirtiest families, ranked by
+        tombstone count then segment-row count (tombstones are the
+        query-time mask overhead; segment rows the extra partitions).
+    Partial compaction leaves the other families' segments/tombstones in
+    place — queries stay exact throughout (the mask machinery is
+    unchanged) and repeated ``max_shards=K`` calls converge to the full
+    compact."""
     from .stable import _STAGING, KEYS, STRIDE
 
+    if shards is not None and max_shards is not None:
+        raise ValueError("pass at most one of shards= / max_shards=")
     wh = wh if isinstance(wh, Warehouse) else Warehouse(wh)
     wh.recover_txn()
     man = wh.manifest("analyzed")
@@ -376,27 +423,34 @@ def compact_segments(spark: SparkSession, wh: str | Warehouse) -> BuildInfo:
     for t in _STAGING:
         wh.drop(t)
 
-    an = wh.read(spark, "analyzed")
     live = live_analyzed(spark, wh)
-    # touched base shards: any base shard owning a segment row or a
+    # dirty base families: any family owning a segment row or a
     # tombstoned row (tombstone shard is the dead row's physical shard,
-    # whose base shard is shard % n_shards)
-    touched = {
-        int(r["b"])
-        for r in an.filter(F.col("shard") >= n_shards)
-        .select(F.pmod("shard", F.lit(n_shards)).cast("int").alias("b"))
-        .distinct()
-        .collect()
-    }
-    if has_tomb:
-        touched |= {
-            int(r["b"])
-            for r in wh.read(spark, "tombstones")
-            .select(F.pmod("shard", F.lit(n_shards)).cast("int").alias("b"))
-            .distinct()
-            .collect()
-        }
-    touched = sorted(touched)
+    # whose base family is shard % n_shards)
+    seg_counts, tomb_counts = _family_census(spark, wh, n_shards)
+    dirty = sorted(seg_counts.keys() | tomb_counts.keys())
+    if shards is not None:
+        bad = sorted(set(shards) - set(range(n_shards)))
+        if bad:
+            raise ValueError(f"not base shards (n_shards={n_shards}): {bad}")
+        touched = sorted(set(shards) & set(dirty))
+    elif max_shards is not None:
+        by_dirt = sorted(
+            dirty,
+            key=lambda b: (tomb_counts.get(b, 0), seg_counts.get(b, 0), -b),
+            reverse=True,
+        )
+        touched = sorted(by_dirt[: max(0, max_shards)])
+    else:
+        touched = dirty
+    partial = len(touched) < len(dirty)
+    if not touched:
+        return BuildInfo(
+            int(man["n_docs"]), n_shards, STRIDE,
+            stages_run=[],
+            stages_skipped=["analyzed", *DOWNSTREAM_STAGES],
+            stage_secs={},
+        )
     new_build_id = uuid.uuid4().hex
 
     # ---- re-rank the touched base shards' LIVE membership (pure JVM)
@@ -454,8 +508,232 @@ def compact_segments(spark: SparkSession, wh: str | Warehouse) -> BuildInfo:
     _stage_doc_lens(spark, delta_df, wh, STRIDE, dst="doc_lens_delta")
     stage_secs["doc_lens"] = round(time.time() - t1, 2)
 
-    # ---- single-journal swap: replace touched base partitions, delete
-    # EVERY generation partition and the tombstones table
+    # ---- remaining tombstones (partial only): keep the un-selected
+    # families' masks; a selected family's masks are realized by the fold
+    remaining_tombs = sum(n for b, n in tomb_counts.items() if b not in set(touched))
+    promotes: list[list[str]] = []
+    drops: list[str] = []
+    if has_tomb:
+        if remaining_tombs > 0:
+            t1 = time.time()
+            keep = wh.read(spark, "tombstones").filter(
+                ~F.pmod("shard", F.lit(n_shards)).cast("int").isin(
+                    [int(b) for b in touched]
+                )
+            )
+            wh.write(
+                keep,
+                "tombstones_next",
+                stage="tombstones",
+                sort_by=["shard", "doc_id"],
+                meta={"analyzed_ref": new_build_id, "n_tombs": remaining_tombs},
+            )
+            promotes.append(["tombstones_next", "tombstones"])
+            stage_secs["tombstones"] = round(time.time() - t1, 2)
+        else:
+            drops.append("tombstones")
+
+    # ---- single-journal swap: replace the selected base partitions,
+    # delete the selected families' generation partitions (all of them,
+    # on a full compact) and fold/trim the tombstones
+    now = time.time()
+    from .stable import _DELTA_TABLES
+
+    sel = set(touched)
+    swaps = []
+    remaining_gens: list[int] = []
+    for table, delta in _DELTA_TABLES:
+        droot = wh.path(delta)
+        troot = wh.path(table)
+        present = sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(droot)
+            if d.startswith("shard=")
+        )
+        all_parts = [
+            int(d.split("=", 1)[1])
+            for d in os.listdir(troot)
+            if d.startswith("shard=")
+        ]
+        seg_parts = sorted(
+            v for v in all_parts if v >= n_shards and v % n_shards in sel
+        )
+        if table == "analyzed":
+            remaining_gens = [
+                v // n_shards
+                for v in all_parts
+                if v >= n_shards and v % n_shards not in sel
+            ]
+        swaps.append(
+            {
+                "table": table,
+                "delta": delta,
+                "moves": present,
+                "deletes": sorted(sel - set(present)) + seg_parts,
+            }
+        )
+    new_max_gen = max(remaining_gens, default=0) if partial else 0
+    manifests: dict[str, dict] = {}
+    am = dict(man)
+    am.update(
+        {"build_id": new_build_id, "max_gen": new_max_gen, "committed_at": now}
+    )
+    manifests["analyzed"] = am
+    for t in ["doc_stats", "postings", "doc_lens", "term_stats", "corpus_stats"]:
+        m = dict(wh.manifest(t))
+        m.update({"analyzed_ref": new_build_id, "committed_at": now})
+        manifests[t] = m
+    for src, dst in promotes:
+        m = dict(wh.manifest(src))
+        m["table"] = dst
+        manifests[dst] = m
+    wh.begin_txn(
+        {
+            "swaps": swaps,
+            "promotes": promotes,
+            "drops": drops,
+            "manifests": manifests,
+        }
+    )
+    wh.recover_txn()
+    stage_secs["swap"] = round(time.time() - now, 2)
+    return BuildInfo(
+        int(man["n_docs"]),
+        n_shards,
+        STRIDE,
+        stages_run=["analyzed", "doc_stats", "postings", "doc_lens"],
+        stages_skipped=["term_stats", "corpus_stats"],
+        stage_secs=stage_secs,
+    )
+
+
+def merge_generations(spark: SparkSession, wh: str | Warehouse) -> BuildInfo:
+    """Tiered merge: fold ALL generations into a single generation
+    without touching any base partition.
+
+    The Lucene tiered-merge move, re-expressed over table partitions:
+    repeated segment-strategy incrementals stack generations (query-time
+    partition count grows per run) and their tombstones.  A full
+    compaction bounds both but costs O(touched base shards) — after
+    uniform churn, the whole base.  This merge costs **O(total segment
+    rows)** instead: the LIVE rows of every generation are re-ranked
+    under generation-1 shards (``n_shards + base_family``), the four
+    tables' gen partitions are replaced by the merged ones, and the
+    tombstones that masked GENERATION rows are realized (dropped), all
+    in one journal.  Base partitions and base-masking tombstones are
+    byte-untouched; term_stats/corpus_stats are already live-exact and
+    only restamped.
+
+    Maintenance policy at scale: merge often (cheap, bounds generation
+    count), partially compact the dirtiest families on a cadence
+    (``compact_segments(max_shards=K)``), fully compact rarely."""
+    from .stable import _STAGING, KEYS, STRIDE
+
+    wh = wh if isinstance(wh, Warehouse) else Warehouse(wh)
+    wh.recover_txn()
+    man = wh.manifest("analyzed")
+    if man.get("doc_id_mode", "rank") != "stable":
+        raise ValueError("merge_generations requires a stable-id warehouse")
+    n_shards = int(man["n_shards"])
+    max_gen = int(man.get("max_gen", 0))
+    gen_tombs = 0
+    if _has_tombstones(wh):
+        gen_tombs = wh.read(spark, "tombstones").filter(
+            F.col("shard") >= n_shards
+        ).count()
+    if max_gen == 0 or (max_gen == 1 and gen_tombs == 0):
+        return BuildInfo(
+            int(man["n_docs"]), n_shards, STRIDE,
+            stages_run=[],
+            stages_skipped=["analyzed", *DOWNSTREAM_STAGES],
+            stage_secs={},
+        )
+    stage_secs: dict[str, float] = {}
+    for t in _STAGING:
+        wh.drop(t)
+    new_build_id = uuid.uuid4().hex
+
+    # ---- live segment rows only, re-homed under generation 1
+    t1 = time.time()
+    from pyspark.sql import Observation
+    from pyspark.sql.window import Window
+
+    no_id = ["repo", "path", "commit", "lang", "content_sha256", "shard",
+             "doc_len", "terms", "tfs", "positions"]
+    seg_live = live_analyzed(spark, wh).filter(F.col("shard") >= n_shards)
+    merged = seg_live.withColumn(
+        "shard",
+        (F.lit(n_shards) + F.pmod("shard", F.lit(n_shards))).cast("int"),
+    )
+    wnd = Window.partitionBy("shard").orderBy(*KEYS)
+    rank_obs = Observation("merge_rank_guard")
+    delta_analyzed = (
+        merged.withColumn("rank", F.row_number().over(wnd))
+        .observe(rank_obs, F.max("rank").alias("max_rank"))
+        .select(
+            (F.col("shard").cast("long") * F.lit(STRIDE) + F.col("rank")).alias(
+                "doc_id"
+            ),
+            *no_id,
+        )
+    )
+    wh.write(
+        delta_analyzed,
+        "analyzed_delta",
+        stage="analyzed",
+        partition_by=["shard"],
+        meta={
+            "n_docs": int(man["n_docs"]),
+            "sum_dl": int(man["sum_dl"]),
+            "n_shards": n_shards,
+            "shard_size": STRIDE,
+            "doc_id_mode": "stable",
+            "build_id": new_build_id,
+        },
+    )
+    if int(rank_obs.get["max_rank"] or 0) >= STRIDE:
+        raise OverflowError(
+            f"a merged generation shard exceeds STRIDE={STRIDE} docs; "
+            "compact instead"
+        )
+    wh.append_lineage_rows("analyzed", wh.footer_lineage_rows("analyzed_delta"))
+    stage_secs["analyzed"] = round(time.time() - t1, 2)
+
+    delta_df = wh.read(spark, "analyzed_delta")
+    t1 = time.time()
+    _stage_doc_stats(spark, delta_df, wh, dst="doc_stats_delta")
+    stage_secs["doc_stats"] = round(time.time() - t1, 2)
+    t1 = time.time()
+    _stage_postings(spark, wh, src="analyzed_delta", dst="postings_delta")
+    stage_secs["postings"] = round(time.time() - t1, 2)
+    t1 = time.time()
+    _stage_doc_lens(spark, delta_df, wh, STRIDE, dst="doc_lens_delta")
+    stage_secs["doc_lens"] = round(time.time() - t1, 2)
+
+    # ---- base-masking tombstones survive; gen masks are realized
+    base_tombs = 0
+    promotes: list[list[str]] = []
+    drops: list[str] = []
+    if _has_tombstones(wh):
+        t1 = time.time()
+        n_tombs = int(wh.manifest("tombstones")["n_tombs"])
+        base_tombs = n_tombs - gen_tombs
+        if base_tombs > 0:
+            keep = wh.read(spark, "tombstones").filter(F.col("shard") < n_shards)
+            wh.write(
+                keep,
+                "tombstones_next",
+                stage="tombstones",
+                sort_by=["shard", "doc_id"],
+                meta={"analyzed_ref": new_build_id, "n_tombs": base_tombs},
+            )
+            promotes.append(["tombstones_next", "tombstones"])
+        else:
+            drops.append("tombstones")
+        stage_secs["tombstones"] = round(time.time() - t1, 2)
+
+    # ---- single-journal swap: merged gen-1 partitions in, every older
+    # generation partition out; base partitions untouched
     now = time.time()
     from .stable import _DELTA_TABLES
 
@@ -468,36 +746,39 @@ def compact_segments(spark: SparkSession, wh: str | Warehouse) -> BuildInfo:
             for d in os.listdir(droot)
             if d.startswith("shard=")
         )
-        seg_parts = sorted(
+        stale_gens = sorted(
             v
             for v in (
                 int(d.split("=", 1)[1])
                 for d in os.listdir(troot)
                 if d.startswith("shard=")
             )
-            if v >= n_shards
+            if v >= n_shards and v not in set(present)
         )
         swaps.append(
-            {
-                "table": table,
-                "delta": delta,
-                "moves": present,
-                "deletes": sorted(set(touched) - set(present)) + seg_parts,
-            }
+            {"table": table, "delta": delta, "moves": present,
+             "deletes": stale_gens}
         )
+    new_max_gen = 1 if any(s["moves"] for s in swaps) else 0
     manifests: dict[str, dict] = {}
     am = dict(man)
-    am.update({"build_id": new_build_id, "max_gen": 0, "committed_at": now})
+    am.update(
+        {"build_id": new_build_id, "max_gen": new_max_gen, "committed_at": now}
+    )
     manifests["analyzed"] = am
     for t in ["doc_stats", "postings", "doc_lens", "term_stats", "corpus_stats"]:
         m = dict(wh.manifest(t))
         m.update({"analyzed_ref": new_build_id, "committed_at": now})
         manifests[t] = m
+    for src, dst in promotes:
+        m = dict(wh.manifest(src))
+        m["table"] = dst
+        manifests[dst] = m
     wh.begin_txn(
         {
             "swaps": swaps,
-            "promotes": [],
-            "drops": ["tombstones"],
+            "promotes": promotes,
+            "drops": drops,
             "manifests": manifests,
         }
     )

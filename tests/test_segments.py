@@ -327,3 +327,149 @@ def test_segment_txn_journal_recovery(spark, tmp_path, base_v1, scratch_v2, monk
     assert int(wh.manifest("analyzed")["max_gen"]) == 1
     assert wh.is_committed("tombstones")
     _assert_engines_agree(spark, wh_path, scratch_v2)
+
+
+def test_partial_compact_bounded_and_convergent(
+    spark, tmp_path, base_v1, scratch_v2
+):
+    """Partial compaction (the tiered-maintenance knob): an explicit
+    shards= call folds ONLY those base families — every other family's
+    base partitions stay byte-identical and its segments/tombstones stay
+    in place — queries stay exact throughout, and repeated max_shards=K
+    sweeps converge to the full compact's bit-identical result."""
+    from moogle_spark.build import incremental_build
+    from moogle_spark.segments import compact_segments
+    from moogle_spark.tables import Warehouse
+
+    docs_v2 = _docs_v2(spark)
+    wh_path = _clone(base_v1, tmp_path, "pc")
+    incremental_build(spark, docs_v2, wh_path, strategy="segment")
+
+    wh = Warehouse(wh_path)
+    tomb_fams = {
+        int(r["b"])
+        for r in wh.read(spark, "tombstones")
+        .select(F.pmod("shard", F.lit(N_SHARDS)).cast("int").alias("b"))
+        .distinct()
+        .collect()
+    }
+    assert len(tomb_fams) >= 4  # churn spreads over many families
+    sel = sorted(tomb_fams)[:2]
+    n_tombs_before = int(wh.manifest("tombstones")["n_tombs"])
+    before = {
+        t: _snapshot_files(os.path.join(wh_path, t))
+        for t in ["analyzed", "postings", "doc_stats", "doc_lens"]
+    }
+
+    info = compact_segments(spark, wh_path, shards=sel)
+    assert "postings" in info.stages_run
+
+    wh = Warehouse(wh_path)
+    # selected families: no segment partitions, no tombstones left
+    for t in ["analyzed", "postings", "doc_stats", "doc_lens"]:
+        parts = [
+            int(d.split("=", 1)[1])
+            for d in os.listdir(os.path.join(wh_path, t))
+            if d.startswith("shard=")
+        ]
+        assert not any(p >= N_SHARDS and p % N_SHARDS in sel for p in parts), t
+    assert wh.is_committed("tombstones")
+    n_tombs_after = int(wh.manifest("tombstones")["n_tombs"])
+    assert 0 < n_tombs_after < n_tombs_before
+    left_fams = {
+        int(r["b"])
+        for r in wh.read(spark, "tombstones")
+        .select(F.pmod("shard", F.lit(N_SHARDS)).cast("int").alias("b"))
+        .distinct()
+        .collect()
+    }
+    assert not (left_fams & set(sel))
+    # un-selected families' base partitions byte-untouched
+    after = {
+        t: _snapshot_files(os.path.join(wh_path, t))
+        for t in ["analyzed", "postings", "doc_stats", "doc_lens"]
+    }
+    for t, snap in before.items():
+        for rel, sig in snap.items():
+            fam = rel.split("=", 1)[1].split("/", 1)[0] if rel.startswith("shard=") else None
+            if fam is not None and int(fam) < N_SHARDS and int(fam) not in sel:
+                assert after[t].get(rel) == sig, f"{t}/{rel} was rewritten"
+    # still exact mid-partial
+    _assert_engines_agree(spark, wh_path, scratch_v2)
+
+    # ---- repeated dirtiest-K sweeps converge to the full compact
+    for _ in range(200):
+        info = compact_segments(spark, wh_path, max_shards=3)
+        if not info.stages_run:
+            break
+    wh = Warehouse(wh_path)
+    assert int(wh.manifest("analyzed").get("max_gen", 0)) == 0
+    assert not wh.is_committed("tombstones")
+    assert _decoded_postings_fp(spark, wh_path) == _decoded_postings_fp(
+        spark, scratch_v2
+    )
+    for t in ["analyzed", "doc_stats", "doc_lens", "term_stats", "corpus_stats"]:
+        assert _table_rows_fp(spark, wh_path, t) == _table_rows_fp(
+            spark, scratch_v2, t
+        ), t
+
+
+def test_merge_generations_tiered(spark, tmp_path, base_v1):
+    """merge_generations folds every generation into ONE without
+    touching any base partition: v1 -> v2 (gen 1) -> v1 (gen 2) leaves
+    gen-1 rows tombstoned where they live; the merge purges them,
+    re-homes live segment rows under gen 1, drops gen-masking
+    tombstones, and keeps base-masking ones — results unchanged."""
+    from moogle_spark.build import incremental_build
+    from moogle_spark.segments import merge_generations
+    from moogle_spark.tables import Warehouse
+
+    docs_v1, docs_v2 = _docs_v1(spark), _docs_v2(spark)
+    wh_path = _clone(base_v1, tmp_path, "mg")
+    incremental_build(spark, docs_v2, wh_path, strategy="segment")
+    incremental_build(spark, docs_v1, wh_path, strategy="segment")
+    wh = Warehouse(wh_path)
+    assert int(wh.manifest("analyzed")["max_gen"]) == 2
+    n_base_tombs = (
+        wh.read(spark, "tombstones").filter(F.col("shard") < N_SHARDS).count()
+    )
+    assert n_base_tombs > 0  # v1->v2 replaced/removed docs live in base
+    before = {
+        t: _snapshot_files(os.path.join(wh_path, t))
+        for t in ["analyzed", "postings", "doc_stats", "doc_lens"]
+    }
+
+    info = merge_generations(spark, wh_path)
+    assert "postings" in info.stages_run
+
+    wh = Warehouse(wh_path)
+    assert int(wh.manifest("analyzed")["max_gen"]) == 1
+    assert int(wh.manifest("analyzed")["n_docs"]) == N_DOCS
+    # every base partition byte-untouched
+    after = {
+        t: _snapshot_files(os.path.join(wh_path, t))
+        for t in ["analyzed", "postings", "doc_stats", "doc_lens"]
+    }
+    for t, snap in before.items():
+        for rel, sig in snap.items():
+            fam = rel.split("=", 1)[1].split("/", 1)[0] if rel.startswith("shard=") else None
+            if fam is not None and int(fam) < N_SHARDS:
+                assert after[t].get(rel) == sig, f"{t}/{rel} was rewritten"
+    # no partition above generation 1 anywhere
+    for t in ["analyzed", "postings", "doc_stats", "doc_lens"]:
+        parts = [
+            int(d.split("=", 1)[1])
+            for d in os.listdir(os.path.join(wh_path, t))
+            if d.startswith("shard=")
+        ]
+        assert max(parts) < 2 * N_SHARDS, t
+    # only base-masking tombstones survive
+    tomb = wh.read(spark, "tombstones")
+    assert tomb.filter(F.col("shard") >= N_SHARDS).count() == 0
+    assert int(wh.manifest("tombstones")["n_tombs"]) == n_base_tombs
+
+    # live corpus is v1 again: parity against the untouched v1 base
+    _assert_engines_agree(spark, wh_path, base_v1)
+
+    # idempotent: a single clean generation with no gen masks is a no-op
+    assert merge_generations(spark, wh_path).stages_run == []
