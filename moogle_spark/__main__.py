@@ -17,7 +17,9 @@ Commands:
   search  --warehouse PATH --query STR [--k N] [--page N]
           [--mode bmw|exhaustive] [--phrase] [--fuzzy] [--enrich]
   expire  --warehouse PATH [--ttl SECONDS]
-  compact --warehouse PATH
+  compact --warehouse PATH [--max-shards K | --shards B1,B2,...]
+  merge   --warehouse PATH
+  stats   --warehouse PATH
 """
 
 from __future__ import annotations
@@ -97,6 +99,20 @@ def main(argv: list[str] | None = None) -> int:
         "compact", help="fold segment generations + tombstones into the base"
     )
     c.add_argument("--warehouse", required=True)
+    c.add_argument("--max-shards", type=int, default=None,
+                   help="partial: fold only the K dirtiest base families")
+    c.add_argument("--shards", default=None,
+                   help="partial: comma-separated base families to fold")
+
+    g = sub.add_parser(
+        "merge",
+        help="tiered merge: fold all segment generations into one "
+             "(O(segment rows), no base partition touched)",
+    )
+    g.add_argument("--warehouse", required=True)
+
+    st = sub.add_parser("stats", help="committed warehouse overview")
+    st.add_argument("--warehouse", required=True)
 
     args = ap.parse_args(argv)
     spark = _cluster_session()
@@ -142,11 +158,63 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "compact":
         from .segments import compact_segments
 
-        info = compact_segments(spark, args.warehouse)
+        sel = (
+            [int(s) for s in args.shards.split(",") if s.strip()]
+            if args.shards else None
+        )
+        info = compact_segments(
+            spark, args.warehouse, shards=sel, max_shards=args.max_shards
+        )
         print(
             f"COMPACT_OK n_docs={info.n_docs} run={info.stages_run} "
             f"skipped={info.stages_skipped}"
         )
+    elif args.cmd == "merge":
+        from .segments import merge_generations
+
+        info = merge_generations(spark, args.warehouse)
+        print(
+            f"MERGE_OK n_docs={info.n_docs} run={info.stages_run} "
+            f"skipped={info.stages_skipped}"
+        )
+    elif args.cmd == "stats":
+        import json as _json
+
+        from .tables import Warehouse
+
+        import os as _os
+
+        def _bytes(root: str) -> int:
+            total = 0
+            for dirpath, _dn, files in _os.walk(root):
+                total += sum(
+                    _os.path.getsize(_os.path.join(dirpath, fn)) for fn in files
+                )
+            return total
+
+        wh = Warehouse(args.warehouse)
+        man = wh.manifest("analyzed")
+        cs = wh.read(spark, "corpus_stats").collect()[0]
+        out = {
+            "n_docs": int(man["n_docs"]),
+            "sum_dl": int(man["sum_dl"]),
+            "n_shards": int(man["n_shards"]),
+            "doc_id_mode": man.get("doc_id_mode", "rank"),
+            "format_version": man.get("format_version"),
+            "max_gen": int(man.get("max_gen", 0)),
+            "n_tombstones": (
+                int(wh.manifest("tombstones")["n_tombs"])
+                if wh.is_committed("tombstones") else 0
+            ),
+            "n_terms": int(cs["n_terms"]),
+            "table_bytes": {
+                t: _bytes(wh.path(t))
+                for t in ["analyzed", "postings", "doc_stats", "doc_lens",
+                          "term_stats"]
+                if wh.is_committed(t)
+            },
+        }
+        print(_json.dumps(out))
     return 0
 
 

@@ -38,3 +38,51 @@ def test_cli_build_then_search(tmp_path, spark):
 
     out = _run("expire", "--warehouse", wh)
     assert "EXPIRED []" in out
+
+
+def test_cli_maintenance_commands(tmp_path, spark):
+    """stable build -> segment refresh -> merge -> partial compact ->
+    stats, all through the spark-submit entry."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from moogle_spark.corpus import generate_docs
+
+    docs = generate_docs(spark, 120)
+    src = str(tmp_path / "docs.parquet")
+    docs.write.parquet(src)
+    src2 = str(tmp_path / "docs2.parquet")
+    docs.withColumn(
+        "content",
+        F.when(
+            F.pmod(F.xxhash64("path"), F.lit(4)) == 0,
+            F.concat(F.col("content"), F.lit(" clichurntok")),
+        ).otherwise(F.col("content")),
+    ).write.parquet(src2)
+    wh = str(tmp_path / "wh")
+
+    out = _run("build", "--input", src, "--warehouse", wh,
+               "--doc-id-mode", "stable", "--shards", "16")
+    assert "BUILD_OK n_docs=120" in out
+    out = _run("build", "--input", src2, "--warehouse", wh,
+               "--incremental", "--strategy", "segment")
+    assert "BUILD_OK n_docs=120" in out
+
+    stats = json.loads(_run("stats", "--warehouse", wh).strip().splitlines()[-1])
+    assert stats["max_gen"] == 1 and stats["n_tombstones"] > 0
+    assert stats["doc_id_mode"] == "stable"
+    assert stats["table_bytes"]["postings"] > 0
+
+    out = _run("merge", "--warehouse", wh)
+    assert "MERGE_OK" in out
+    out = _run("compact", "--warehouse", wh, "--max-shards", "4")
+    assert "COMPACT_OK" in out and "postings" in out
+    out = _run("compact", "--warehouse", wh)  # fold the rest
+    assert "COMPACT_OK" in out
+
+    stats = json.loads(_run("stats", "--warehouse", wh).strip().splitlines()[-1])
+    assert stats["max_gen"] == 0 and stats["n_tombstones"] == 0
+
+    out = _run("search", "--warehouse", wh, "--query", "clichurntok", "--k", "3")
+    assert out.count("'rank'") == 3
