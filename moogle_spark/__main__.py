@@ -78,8 +78,12 @@ def main(argv: list[str] | None = None) -> int:
                         "touched-shard swap, Lucene-style segment+tombstone "
                         "generation, or churn-fraction auto pick")
     b.add_argument("--auto-compact-ratio", type=float, default=None,
-                   help="segment strategy: compact once tombstones exceed "
-                        "this fraction of live docs")
+                   help="segment strategy: run maintenance once tombstones "
+                        "exceed this fraction of live docs")
+    b.add_argument("--maintenance", choices=["compact", "tiered"],
+                   default="compact",
+                   help="what the auto trigger runs: full compact, or "
+                        "generation merge + bounded partial compact")
 
     s = sub.add_parser("search", help="query a built index")
     s.add_argument("--warehouse", required=True)
@@ -127,6 +131,7 @@ def main(argv: list[str] | None = None) -> int:
                 mode="upsert" if args.upsert else "full",
                 strategy=args.strategy,
                 auto_compact_ratio=args.auto_compact_ratio,
+                maintenance=args.maintenance,
             )
         else:
             info = build_index(

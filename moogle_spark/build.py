@@ -330,6 +330,7 @@ def incremental_build(
     mode: str = "full",
     strategy: str = "shards",
     auto_compact_ratio: float | None = None,
+    maintenance: str = "compact",
 ) -> BuildInfo:
     """Staleness-gated re-index — the reference's ``last_crawled`` gate
     (services/indexer/main.py:140-143) over content identity: a doc whose
@@ -374,6 +375,7 @@ def incremental_build(
         return incremental_build_stable(
             spark, docs, wh, mode=mode, parallel=parallel,
             strategy=strategy, auto_compact_ratio=auto_compact_ratio,
+            maintenance=maintenance,
         )
 
     import time as _time

@@ -164,6 +164,7 @@ def segment_tail(
     dl_gone: int,
     stage_secs: dict,
     auto_compact_ratio: float | None = None,
+    maintenance: str = "compact",
 ) -> BuildInfo:
     """The segment-strategy tail of incremental_build_stable: the gate
     has already run (changed_an = tokenized changed docs with their BASE
@@ -333,9 +334,31 @@ def segment_tail(
         and n_tombs / n_docs_new > auto_compact_ratio
     ):
         t1 = time.time()
-        compact_segments(spark, wh)
-        stage_secs["compact"] = round(time.time() - t1, 2)
-        info.stages_run.append("compact")
+        if maintenance == "tiered":
+            # bound the window: merge caps generations at 1 for O(segment
+            # rows); then fold only the fewest dirtiest families needed to
+            # bring the mask under HALF the trigger ratio (hysteresis —
+            # without it the trigger re-fires every run and each run pays
+            # a compact).  Family ranking mirrors compact_segments'
+            # max_shards order (tombstones first).
+            merge_generations(spark, wh)
+            _seg, tomb_counts = _family_census(spark, wh, n_shards)
+            target = auto_compact_ratio * n_docs_new / 2
+            remaining = sum(tomb_counts.values())
+            k = 0
+            for _b, n in sorted(tomb_counts.items(), key=lambda kv: -kv[1]):
+                if remaining <= target:
+                    break
+                remaining -= n
+                k += 1
+            if k:
+                compact_segments(spark, wh, max_shards=k)
+            stage_secs["maintenance"] = round(time.time() - t1, 2)
+            info.stages_run.append("maintenance")
+        else:
+            compact_segments(spark, wh)
+            stage_secs["compact"] = round(time.time() - t1, 2)
+            info.stages_run.append("compact")
     return info
 
 

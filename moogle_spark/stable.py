@@ -298,6 +298,7 @@ def incremental_build_stable(
     parallel: bool = True,
     strategy: str = "shards",
     auto_compact_ratio: float | None = None,
+    maintenance: str = "compact",
 ) -> BuildInfo:
     """Shard-scoped incremental over a stable-id warehouse: tokenizes only
     changed docs (sha+lang gate), rebuilds only the shards containing a
@@ -322,13 +323,27 @@ def incremental_build_stable(
     A warehouse that already carries segments stays on the segment path
     unless strategy="shards", which compacts first (the shard-swap
     machinery is only sound on a segment-free base).
-    ``auto_compact_ratio``: after a segment run, compact when tombstones
-    exceed this fraction of live docs (None = never auto-compact)."""
+    ``auto_compact_ratio``: after a segment run, run maintenance when
+    tombstones exceed this fraction of live docs (None = never).
+    ``maintenance`` picks what that trigger runs:
+      "compact" — full compact_segments (bit-identical base, but after
+                  uniform churn that rewrites every dirty base shard);
+      "tiered"  — merge_generations (O(segment rows), caps the
+                  generation count at 1) then
+                  compact_segments(max_shards=K) with K chosen as the
+                  fewest dirtiest families whose fold brings the mask
+                  back under HALF the trigger ratio (hysteresis, so the
+                  trigger doesn't re-fire every run) — the maintenance
+                  window stays bounded at any churn shape."""
     if mode not in ("full", "upsert"):
         raise ValueError(f"mode={mode!r} must be 'full' or 'upsert'")
     if strategy not in ("shards", "segment", "auto"):
         raise ValueError(
             f"strategy={strategy!r} must be 'shards', 'segment' or 'auto'"
+        )
+    if maintenance not in ("compact", "tiered"):
+        raise ValueError(
+            f"maintenance={maintenance!r} must be 'compact' or 'tiered'"
         )
     wh = wh if isinstance(wh, Warehouse) else Warehouse(wh)
     from .build import FORMAT_VERSION, build_index
@@ -480,7 +495,7 @@ def incremental_build_stable(
         return segment_tail(
             spark, wh, changed_an, gone,
             n_changed, dl_changed, n_gone, dl_gone,
-            stage_secs, auto_compact_ratio,
+            stage_secs, auto_compact_ratio, maintenance,
         )
 
     if segmented or strategy == "segment":

@@ -473,3 +473,56 @@ def test_merge_generations_tiered(spark, tmp_path, base_v1):
 
     # idempotent: a single clean generation with no gen masks is a no-op
     assert merge_generations(spark, wh_path).stages_run == []
+
+
+def test_tiered_auto_maintenance(spark, tmp_path, base_v1):
+    """maintenance="tiered": the auto_compact_ratio trigger runs a
+    generation merge plus a BOUNDED partial compact (fewest dirtiest
+    families to get under half the ratio) instead of a full compact —
+    generations capped at 1, mask under the threshold, most base
+    partitions untouched, results exact."""
+    from moogle_spark.build import build_index, incremental_build
+    from moogle_spark.tables import Warehouse
+
+    docs_v1 = _docs_v1(spark)
+    wh_path = _clone(base_v1, tmp_path, "tm")
+    # uniform ~10% churn so tombstones spread over many families
+    uniform = docs_v1.withColumn(
+        "content",
+        F.when(
+            F.pmod(F.xxhash64("path"), F.lit(10)) == 0,
+            F.concat(F.col("content"), F.lit(" tieredchurntok")),
+        ).otherwise(F.col("content")),
+    )
+    before = _snapshot_files(os.path.join(wh_path, "postings"))
+
+    ratio = 0.05
+    info = incremental_build(
+        spark, uniform, wh_path, strategy="segment",
+        auto_compact_ratio=ratio, maintenance="tiered",
+    )
+    assert "maintenance" in info.stages_run
+    assert "compact" not in info.stages_run
+
+    wh = Warehouse(wh_path)
+    n_docs = int(wh.manifest("analyzed")["n_docs"])
+    n_tombs = (
+        int(wh.manifest("tombstones")["n_tombs"])
+        if wh.is_committed("tombstones") else 0
+    )
+    # mask back under the trigger ratio, but NOT fully compacted
+    assert n_tombs / n_docs <= ratio
+    assert int(wh.manifest("analyzed")["max_gen"]) == 1
+    # bounded window: some base postings partitions were never rewritten
+    after = _snapshot_files(os.path.join(wh_path, "postings"))
+    untouched = sum(
+        1
+        for rel, sig in before.items()
+        if rel.startswith("shard=") and after.get(rel) == sig
+    )
+    assert untouched > 0
+
+    # exact vs from-scratch
+    scr = str(tmp_path / "scratch")
+    build_index(spark, uniform, scr, n_shards=N_SHARDS, doc_id_mode="stable")
+    _assert_engines_agree(spark, wh_path, scr)
