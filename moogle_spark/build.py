@@ -331,6 +331,7 @@ def incremental_build(
     strategy: str = "shards",
     auto_compact_ratio: float | None = None,
     maintenance: str = "compact",
+    doc_id_mode: str = "rank",
 ) -> BuildInfo:
     """Staleness-gated re-index — the reference's ``last_crawled`` gate
     (services/indexer/main.py:140-143) over content identity: a doc whose
@@ -367,7 +368,12 @@ def incremental_build(
         wh.is_committed("analyzed")
         and wh.manifest("analyzed").get("format_version") == FORMAT_VERSION
     ):
-        return build_index(spark, docs, wh, n_shards=n_shards, parallel=parallel)
+        # cold path (no committed index): doc_id_mode picks the id scheme
+        # of the FIRST build; later calls route on the committed manifest
+        return build_index(
+            spark, docs, wh, n_shards=n_shards, parallel=parallel,
+            doc_id_mode=doc_id_mode,
+        )
     if wh.manifest("analyzed").get("doc_id_mode", "rank") == "stable":
         # stable-id warehouse: the shard-scoped O(churn) path owns it
         from .stable import incremental_build_stable

@@ -135,20 +135,38 @@ def incremental_index_foreachBatch(
     q.awaitTermination(timeout_s)
 
 
-def staleness_gated_batch_fn(warehouse: str):
+def staleness_gated_batch_fn(
+    warehouse: str,
+    n_shards: int | None = None,
+    doc_id_mode: str = "rank",
+    strategy: str = "shards",
+    auto_compact_ratio: float | None = None,
+    maintenance: str = "compact",
+):
     """batch_fn for ``incremental_index_foreachBatch`` with the
     reference's staleness gate (services/indexer/main.py:140-143 skips a
     doc whose last_crawled is unchanged): each micro-batch is merged via
     ``build.incremental_build(mode="upsert")``, so docs whose
     (repo, path, commit, content_sha256) already sit in the committed
     index are never re-tokenized — a re-delivered or unchanged doc costs
-    one JVM sha + an anti-join, not an analyzer pass."""
+    one JVM sha + an anti-join, not an analyzer pass.
+
+    For CONTINUOUS ingestion pass ``doc_id_mode="stable"`` +
+    ``strategy="segment"`` (or "auto"): each micro-batch then lands as a
+    generation at O(batch) cost with no base partition rewritten, and
+    ``auto_compact_ratio``/``maintenance="tiered"`` keep the generation
+    count and tombstone mask bounded between batches — the 10^12-file
+    queue-drain shape.  The first batch builds the warehouse cold with
+    the requested id scheme; later batches route on the committed
+    manifest."""
 
     def fn(batch_df, batch_id: int) -> None:
         from .build import incremental_build
 
         incremental_build(
-            batch_df.sparkSession, batch_df, warehouse, mode="upsert"
+            batch_df.sparkSession, batch_df, warehouse, mode="upsert",
+            n_shards=n_shards, doc_id_mode=doc_id_mode, strategy=strategy,
+            auto_compact_ratio=auto_compact_ratio, maintenance=maintenance,
         )
 
     return fn

@@ -92,3 +92,71 @@ def test_staleness_gated_foreachbatch(spark, tmp_path):
     eng = SearchEngine(spark, wh, cache=False)
     assert eng.n_docs == 100
     docs.unpersist()
+
+
+def test_streaming_segment_ingestion_stable(spark, tmp_path):
+    """Continuous-ingestion shape: micro-batches land on a STABLE-id
+    warehouse via strategy='segment' — batch 1 builds cold with stable
+    ids, batch 2 (changed + re-delivered docs) lands as a generation
+    with no base partition rewritten, and the final index answers over
+    the merged live corpus."""
+    from moogle_spark.corpus import generate_docs
+    from moogle_spark.query import SearchEngine
+    from moogle_spark.streaming import (
+        incremental_index_foreachBatch,
+        staleness_gated_batch_fn,
+    )
+    from moogle_spark.tables import Warehouse
+    from test_stable_incremental import _snapshot_files
+
+    docs = generate_docs(spark, 100).persist()
+    src = str(tmp_path / "drops")
+    os.makedirs(src, exist_ok=True)
+    docs.write.parquet(src + "/drop1.parquet")
+
+    wh = str(tmp_path / "wh")
+    fn = staleness_gated_batch_fn(
+        wh, n_shards=16, doc_id_mode="stable", strategy="segment",
+    )
+    schema = "repo string, path string, commit string, lang string, content string"
+    incremental_index_foreachBatch(
+        spark.readStream.schema(schema).parquet(src + "/*.parquet"),
+        fn, checkpoint=str(tmp_path / "ck"), timeout_s=300,
+    )
+    man = Warehouse(wh).manifest("analyzed")
+    assert man["doc_id_mode"] == "stable" and int(man["n_shards"]) == 16
+
+    before = _snapshot_files(os.path.join(wh, "postings"))
+    changed = docs.filter(F.pmod(F.xxhash64("path"), F.lit(5)) == 0).withColumn(
+        "content", F.concat(F.col("content"), F.lit(" streamsegtok"))
+    )
+    # re-deliver some unchanged docs too (at-least-once delivery)
+    drop2 = changed.unionByName(
+        docs.filter(F.pmod(F.xxhash64("path"), F.lit(5)) == 1)
+    )
+    drop2.write.parquet(src + "/drop2.parquet")
+    incremental_index_foreachBatch(
+        spark.readStream.schema(schema).parquet(src + "/*.parquet"),
+        fn, checkpoint=str(tmp_path / "ck"), timeout_s=300,
+    )
+
+    wh_o = Warehouse(wh)
+    assert int(wh_o.manifest("analyzed")["max_gen"]) == 1
+    assert int(wh_o.manifest("tombstones")["n_tombs"]) == changed.count()
+    # no BASE postings partition was rewritten by the micro-batch
+    after = _snapshot_files(os.path.join(wh, "postings"))
+    for rel, sig in before.items():
+        if rel.startswith("shard="):
+            assert after.get(rel) == sig, f"postings/{rel} rewritten"
+    # upsert semantics: re-delivered unchanged docs weren't tokenized
+    tok = (
+        wh_o.lineage(spark)
+        .filter(F.col("stage") == "incremental_tokenize")
+        .agg(F.sum("doc_count")).collect()[0][0]
+    )
+    assert int(tok) == changed.count()
+
+    eng = SearchEngine(spark, wh, cache=False)
+    assert eng.n_docs == 100
+    assert eng.search("streamsegtok", k=100).count() == changed.count()
+    docs.unpersist()
