@@ -526,3 +526,55 @@ def test_tiered_auto_maintenance(spark, tmp_path, base_v1):
     scr = str(tmp_path / "scratch")
     build_index(spark, uniform, scr, n_shards=N_SHARDS, doc_id_mode="stable")
     _assert_engines_agree(spark, wh_path, scr)
+
+
+def test_partial_compact_and_merge_txn_recovery(
+    spark, tmp_path, base_v1, monkeypatch
+):
+    """Kill right after begin_txn in merge_generations and in a partial
+    compact_segments: the journal exists, nothing is applied; the next
+    Warehouse() open replays it to completion and the result equals an
+    uninterrupted run of the same op on an identical clone."""
+    from moogle_spark.build import incremental_build
+    from moogle_spark.segments import compact_segments, merge_generations
+    from moogle_spark.tables import Warehouse
+
+    docs_v1, docs_v2 = _docs_v1(spark), _docs_v2(spark)
+    wh_a = _clone(base_v1, tmp_path, "a")
+    incremental_build(spark, docs_v2, wh_a, strategy="segment")
+    incremental_build(spark, docs_v1, wh_a, strategy="segment")
+    wh_b = _clone(wh_a, tmp_path, "b")  # identical twin, uninterrupted
+
+    # ---- merge interrupted at the swap
+    monkeypatch.setattr(Warehouse, "recover_txn", lambda self: False)
+    merge_generations(spark, wh_a)
+    monkeypatch.undo()
+    assert os.path.exists(os.path.join(wh_a, "_TXN.json"))
+    Warehouse(wh_a)  # replays
+    assert not os.path.exists(os.path.join(wh_a, "_TXN.json"))
+    merge_generations(spark, wh_b)
+    for t in ["analyzed", "doc_stats", "doc_lens", "term_stats"]:
+        assert _table_rows_fp(spark, wh_a, t) == _table_rows_fp(spark, wh_b, t), t
+    assert _decoded_postings_fp(spark, wh_a) == _decoded_postings_fp(spark, wh_b)
+    assert _table_rows_fp(spark, wh_a, "tombstones") == _table_rows_fp(
+        spark, wh_b, "tombstones"
+    )
+
+    # ---- partial compact interrupted at the swap
+    sel = sorted(
+        int(r["b"])
+        for r in Warehouse(wh_a).read(spark, "tombstones")
+        .select(F.pmod("shard", F.lit(N_SHARDS)).cast("int").alias("b"))
+        .distinct()
+        .collect()
+    )[:3]
+    monkeypatch.setattr(Warehouse, "recover_txn", lambda self: False)
+    compact_segments(spark, wh_a, shards=sel)
+    monkeypatch.undo()
+    assert os.path.exists(os.path.join(wh_a, "_TXN.json"))
+    Warehouse(wh_a)
+    compact_segments(spark, wh_b, shards=sel)
+    for t in ["analyzed", "doc_stats", "doc_lens", "term_stats", "tombstones"]:
+        assert _table_rows_fp(spark, wh_a, t) == _table_rows_fp(spark, wh_b, t), t
+    assert _decoded_postings_fp(spark, wh_a) == _decoded_postings_fp(spark, wh_b)
+    _assert_engines_agree(spark, wh_a, wh_b)
