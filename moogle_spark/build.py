@@ -332,6 +332,7 @@ def incremental_build(
     auto_compact_ratio: float | None = None,
     maintenance: str = "compact",
     doc_id_mode: str = "rank",
+    deletes: DataFrame | None = None,
 ) -> BuildInfo:
     """Staleness-gated re-index — the reference's ``last_crawled`` gate
     (services/indexer/main.py:140-143) over content identity: a doc whose
@@ -368,6 +369,8 @@ def incremental_build(
         wh.is_committed("analyzed")
         and wh.manifest("analyzed").get("format_version") == FORMAT_VERSION
     ):
+        if deletes is not None:
+            raise ValueError("deletes requires a committed index")
         # cold path (no committed index): doc_id_mode picks the id scheme
         # of the FIRST build; later calls route on the committed manifest
         return build_index(
@@ -381,7 +384,13 @@ def incremental_build(
         return incremental_build_stable(
             spark, docs, wh, mode=mode, parallel=parallel,
             strategy=strategy, auto_compact_ratio=auto_compact_ratio,
-            maintenance=maintenance,
+            maintenance=maintenance, deletes=deletes,
+        )
+    if deletes is not None:
+        raise ValueError(
+            "deletes requires a stable-id warehouse (doc_id_mode='stable'); "
+            "rank-mode warehouses express deletions via mode='full' with "
+            "the reduced snapshot"
         )
 
     import time as _time

@@ -299,6 +299,7 @@ def incremental_build_stable(
     strategy: str = "shards",
     auto_compact_ratio: float | None = None,
     maintenance: str = "compact",
+    deletes: DataFrame | None = None,
 ) -> BuildInfo:
     """Shard-scoped incremental over a stable-id warehouse: tokenizes only
     changed docs (sha+lang gate), rebuilds only the shards containing a
@@ -334,9 +335,20 @@ def incremental_build_stable(
                   fewest dirtiest families whose fold brings the mask
                   back under HALF the trigger ratio (hysteresis, so the
                   trigger doesn't re-fire every run) — the maintenance
-                  window stays bounded at any churn shape."""
+                  window stays bounded at any churn shape.
+    ``deletes`` (upsert mode only): a frame carrying (repo, path, commit)
+    keys to REMOVE in the same batch — queue-drain semantics where the
+    batch's final state is "upserts applied, listed keys absent".  A key
+    appearing in both ``docs`` and ``deletes`` is an upsert (the doc
+    wins); deleting an absent key is a no-op.  Full mode rejects it: a
+    full snapshot already expresses deletions by absence."""
     if mode not in ("full", "upsert"):
         raise ValueError(f"mode={mode!r} must be 'full' or 'upsert'")
+    if deletes is not None and mode != "upsert":
+        raise ValueError(
+            "deletes requires mode='upsert' — a full snapshot expresses "
+            "deletions by absence from the snapshot"
+        )
     if strategy not in ("shards", "segment", "auto"):
         raise ValueError(
             f"strategy={strategy!r} must be 'shards', 'segment' or 'auto'"
@@ -371,6 +383,13 @@ def incremental_build_stable(
     # direction is a full from-scratch rebuild of the incoming corpus.
     if not all(_downstream_current(wh, t) for t in DOWNSTREAM_STAGES):
         if segmented:
+            if mode == "upsert":
+                # the only sound heal here is a from-scratch rebuild of
+                # the whole corpus, and an upsert batch is NOT the corpus
+                raise RuntimeError(
+                    "segmented warehouse has stale downstream tables; "
+                    "re-run with mode='full' and the full corpus to heal"
+                )
             for t in ["analyzed", "tombstones", *DOWNSTREAM_STAGES]:
                 wh.drop(t)
             return build_index(spark, docs, wh, parallel=parallel, doc_id_mode="stable")
@@ -400,13 +419,40 @@ def incremental_build_stable(
 
         old = live_analyzed(spark, wh)
     incoming = docs.withColumn("content_sha256", _sha_col())
-    changed = incoming.join(old.select(*GATE), GATE, "left_anti").withColumn(
+    del_keys = None
+    if deletes is not None:
+        # a key appearing in BOTH docs and deletes is an upsert (the doc
+        # wins), so subtract incoming keys from the delete set first
+        del_keys = (
+            deletes.select(*KEYS).distinct()
+            .join(incoming.select(*KEYS), KEYS, "left_anti")
+        )
+    if mode == "upsert":
+        # shard is a pure function of the key, so every GATE/KEYS join
+        # partner of this batch lives in the batch keys' shards: prune
+        # the committed side to those partitions (analyzed is written
+        # partitionBy("shard")) and the gate reads O(batch-shard bytes),
+        # not O(corpus).  Full mode must scan everything anyway — absence
+        # from the snapshot means deletion.
+        sh = incoming.select(stable_shard_col(n_shards).alias("shard"))
+        if deletes is not None:
+            sh = sh.unionByName(
+                deletes.select(stable_shard_col(n_shards).alias("shard"))
+            )
+        batch_shards = sorted({int(r["shard"]) for r in sh.distinct().collect()})
+        old_batch = old.filter(F.col("shard").isin(batch_shards))
+    else:
+        old_batch = old
+    changed = incoming.join(old_batch.select(*GATE), GATE, "left_anti").withColumn(
         "shard", stable_shard_col(n_shards)
     )
     if mode == "full":
         gone = old.join(incoming.select(*GATE), GATE, "left_anti")
     else:
-        gone = old.join(changed.select(*KEYS), KEYS, "left_semi")
+        gone_keys = changed.select(*KEYS)
+        if del_keys is not None:
+            gone_keys = gone_keys.unionByName(del_keys)
+        gone = old_batch.join(gone_keys, KEYS, "left_semi")
     gone = gone.persist(StorageLevel.DISK_ONLY)
 
     # tokenize ONLY the changed docs (the staleness gate); lineage under
@@ -529,7 +575,9 @@ def incremental_build_stable(
     if mode == "full":
         kept = old_t.join(incoming.select(*GATE), GATE, "left_semi")
     else:
-        kept = old_t.join(changed.select(*KEYS), KEYS, "left_anti")
+        # anti-join on gone's keys (= replaced ∪ deleted): covers the
+        # deletes batch too; brand-new keys aren't in old_t either way
+        kept = old_t.join(gone.select(*KEYS), KEYS, "left_anti")
     no_id = ["repo", "path", "commit", "lang", "content_sha256", "shard",
              "doc_len", "terms", "tfs", "positions"]
     delta_rows = kept.select(*no_id).unionByName(changed_an.select(*no_id))
@@ -648,4 +696,46 @@ def incremental_build_stable(
         stages_run=["analyzed"] + DOWNSTREAM_STAGES,
         stages_skipped=[],
         stage_secs=stage_secs,
+    )
+
+
+def delete_docs(
+    spark: SparkSession,
+    keys: DataFrame,
+    wh: str | Warehouse,
+    strategy: str = "auto",
+    auto_compact_ratio: float | None = None,
+    maintenance: str = "compact",
+) -> BuildInfo:
+    """Remove documents by (repo, path, commit) key WITHOUT re-supplying
+    any corpus content — the takedown/GDPR-style operation a 100 TB
+    operator cannot express as a full-snapshot rebuild.
+
+    Cost is O(deleted): the gate reads only the deleted keys' shard
+    partitions (see the upsert-mode pruning in incremental_build_stable),
+    nothing is tokenized, term_stats df is delta-decremented from the
+    removed rows' term sets, and the downstream update is either a
+    tombstone-only segment run (segmented / "auto" at scale) or a
+    touched-shard rewrite.  Deleting keys not present in the index is a
+    no-op.  Stable-id warehouses only — rank-mode doc_ids shift on any
+    removal, so there the supported path is a mode="full" incremental
+    with the reduced snapshot."""
+    wh = wh if isinstance(wh, Warehouse) else Warehouse(wh)
+    from .build import FORMAT_VERSION  # noqa: F401 (parity with callers)
+
+    if not wh.is_committed("analyzed"):
+        raise ValueError("delete_docs requires a committed index")
+    if wh.manifest("analyzed").get("doc_id_mode", "rank") != "stable":
+        raise ValueError(
+            "delete_docs requires a stable-id warehouse "
+            "(build with doc_id_mode='stable'); rank-mode warehouses must "
+            "re-run incremental_build(mode='full') with the reduced corpus"
+        )
+    empty_docs = spark.createDataFrame(
+        [], "repo string, path string, commit string, lang string, content string"
+    )
+    return incremental_build_stable(
+        spark, empty_docs, wh, mode="upsert", strategy=strategy,
+        auto_compact_ratio=auto_compact_ratio, maintenance=maintenance,
+        deletes=keys,
     )
