@@ -73,7 +73,7 @@ from pyspark.sql import functions as F
 
 from . import codec
 from .analyzer import term_freqs_positions
-from .tables import FORMAT_VERSION, Warehouse
+from .tables import FORMAT_VERSION, Warehouse, locked
 
 BLOCK_SIZE = 128
 MAX_INDEX_WORDS = 1000  # reference MAX_INDEX_WORDS, services/indexer/utils/constants.py:23
@@ -166,6 +166,7 @@ def default_shards(n_docs: int) -> int:
     return int(min(4096, max(8, math.ceil(n_docs / 2048))))
 
 
+@locked("build_index", "warehouse")
 def build_index(
     spark: SparkSession,
     docs: DataFrame,
@@ -321,6 +322,7 @@ def build_index(
     return BuildInfo(n_docs, shards, shard_size, run, skip, stage_secs)
 
 
+@locked("incremental_build", "warehouse")
 def incremental_build(
     spark: SparkSession,
     docs: DataFrame,

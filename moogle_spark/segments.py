@@ -77,7 +77,7 @@ from .build import (
     _stage_doc_stats,
     _stage_postings,
 )
-from .tables import Warehouse
+from .tables import Warehouse, locked
 
 # Reserved mask term: sorts before every real token ("\x00" < "0"), and
 # the analyzer only ever emits lowercase-alphanumeric tokens, so no query
@@ -392,6 +392,7 @@ def _family_census(
     return seg, tomb
 
 
+@locked("compact_segments", "wh")
 def compact_segments(
     spark: SparkSession,
     wh: str | Warehouse,
@@ -630,6 +631,7 @@ def compact_segments(
     )
 
 
+@locked("merge_generations", "wh")
 def merge_generations(spark: SparkSession, wh: str | Warehouse) -> BuildInfo:
     """Tiered merge: fold ALL generations into a single generation
     without touching any base partition.

@@ -64,7 +64,7 @@ from .build import (
     _stage_postings,
     default_shards,
 )
-from .tables import Warehouse
+from .tables import Warehouse, locked
 
 # doc_id = shard * STRIDE + rank: 2^33 docs per shard headroom; with the
 # 4096-shard default cap doc_ids stay < 2^45 (int64-safe, and far below
@@ -290,6 +290,7 @@ def _segmented(wh: Warehouse) -> bool:
     )
 
 
+@locked("incremental_build", "wh")
 def incremental_build_stable(
     spark: SparkSession,
     docs: DataFrame,
@@ -699,6 +700,7 @@ def incremental_build_stable(
     )
 
 
+@locked("delete_docs", "wh")
 def delete_docs(
     spark: SparkSession,
     keys: DataFrame,

@@ -18,15 +18,20 @@ posting bytes, content sha256 rollup)") is an append-only parquet table
 
 from __future__ import annotations
 
+import contextlib
+import functools
+import inspect
 import json
 import os
 import shutil
+import socket
 import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
 MANIFEST = "_MANIFEST.json"
+LOCKFILE = "_LOCK.json"
 
 # Bump when any stored-table layout changes: build_index treats committed
 # stages whose manifest carries an older version as NOT committed (rebuild
@@ -41,6 +46,112 @@ LINEAGE_SCHEMA = (
     "stage string, partition_id int, doc_count long, posting_bytes long, "
     "sha256_rollup string, committed_at double"
 )
+
+
+class WarehouseLockedError(RuntimeError):
+    """Another maintenance job holds this warehouse's writer lock."""
+
+
+# re-entrancy bookkeeping, keyed by realpath: the maintenance entry points
+# nest (incremental_build -> segment_tail -> compact_segments, delete_docs
+# -> incremental_build_stable), and only the OUTERMOST frame owns the file
+_LOCK_DEPTH: dict[str, int] = {}
+
+
+@contextlib.contextmanager
+def warehouse_lock(root: str, op: str, stale_after: float = 6 * 3600.0):
+    """Single-writer mutual exclusion for warehouse maintenance.
+
+    Two concurrent builds/compactions over one warehouse would interleave
+    staging drops, partition moves, and _TXN journals into a corrupt mix;
+    the commit protocol makes each op kill-safe, not concurrent-safe.
+    Acquisition is an O_EXCL create of ``_LOCK.json`` (atomic on POSIX
+    local FS and on HDFS-style stores' create-no-overwrite).  Readers
+    never take it — queries stay lock-free.
+
+    A lock left by a crashed job is reclaimed when its pid is gone (same
+    host) or its timestamp exceeds ``stale_after`` (cross-host, where pid
+    liveness is unobservable — at cluster scale the ts is refreshed only
+    at acquisition, so size stale_after above the longest expected op).
+    """
+    os.makedirs(root, exist_ok=True)
+    key = os.path.realpath(root)
+    if _LOCK_DEPTH.get(key, 0) > 0:
+        _LOCK_DEPTH[key] += 1
+        try:
+            yield
+        finally:
+            _LOCK_DEPTH[key] -= 1
+        return
+    path = os.path.join(root, LOCKFILE)
+    payload = json.dumps(
+        {"pid": os.getpid(), "host": socket.gethostname(), "op": op,
+         "ts": time.time()}
+    )
+    for attempt in (0, 1):
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            with os.fdopen(fd, "w") as f:
+                f.write(payload)
+                f.flush()
+                os.fsync(f.fileno())
+            break
+        except FileExistsError:
+            try:
+                with open(path) as f:
+                    holder = json.load(f)
+            except (OSError, ValueError):
+                holder = {}
+            stale = False
+            if (
+                holder.get("host") == socket.gethostname()
+                and isinstance(holder.get("pid"), int)
+            ):
+                try:
+                    os.kill(holder["pid"], 0)
+                except ProcessLookupError:
+                    stale = True
+                except PermissionError:
+                    pass  # pid exists under another uid — alive
+            if not stale and time.time() - float(holder.get("ts") or 0) > stale_after:
+                stale = True
+            if stale and attempt == 0:
+                with contextlib.suppress(FileNotFoundError):
+                    os.unlink(path)
+                continue
+            raise WarehouseLockedError(
+                f"warehouse {root} is locked by {holder or 'an unreadable holder'} "
+                f"({LOCKFILE}); remove it if that job is gone"
+            ) from None
+    _LOCK_DEPTH[key] = 1
+    try:
+        yield
+    finally:
+        _LOCK_DEPTH[key] = 0
+        with contextlib.suppress(FileNotFoundError):
+            os.unlink(path)
+
+
+def locked(op: str, param: str):
+    """Decorator: run ``fn`` under the warehouse writer lock, resolving
+    the warehouse root from argument ``param`` (a path or Warehouse).
+    The lock wraps the WHOLE call — including the Warehouse construction
+    inside, so a path-passed call replays any crash journal under the
+    lock, not racing a live writer."""
+
+    def deco(fn):
+        sig = inspect.signature(fn)
+
+        @functools.wraps(fn)
+        def wrapper(*args, **kwargs):
+            target = sig.bind(*args, **kwargs).arguments[param]
+            root = target.root if isinstance(target, Warehouse) else target
+            with warehouse_lock(root, op):
+                return fn(*args, **kwargs)
+
+        return wrapper
+
+    return deco
 
 
 class Warehouse:
