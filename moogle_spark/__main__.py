@@ -115,6 +115,20 @@ def main(argv: list[str] | None = None) -> int:
     )
     g.add_argument("--warehouse", required=True)
 
+    d = sub.add_parser(
+        "delete",
+        help="remove docs by (repo,path,commit) key — O(deleted), no "
+             "content re-supplied (stable-id warehouses)",
+    )
+    d.add_argument("--keys", required=True,
+                   help="parquet with repo/path/commit columns")
+    d.add_argument("--warehouse", required=True)
+    d.add_argument("--strategy", choices=["shards", "segment", "auto"],
+                   default="auto")
+    d.add_argument("--auto-compact-ratio", type=float, default=None)
+    d.add_argument("--maintenance", choices=["compact", "tiered"],
+                   default="compact")
+
     st = sub.add_parser("stats", help="committed warehouse overview")
     st.add_argument("--warehouse", required=True)
 
@@ -180,6 +194,19 @@ def main(argv: list[str] | None = None) -> int:
         info = merge_generations(spark, args.warehouse)
         print(
             f"MERGE_OK n_docs={info.n_docs} run={info.stages_run} "
+            f"skipped={info.stages_skipped}"
+        )
+    elif args.cmd == "delete":
+        from .stable import delete_docs
+
+        keys = spark.read.parquet(args.keys)
+        info = delete_docs(
+            spark, keys, args.warehouse, strategy=args.strategy,
+            auto_compact_ratio=args.auto_compact_ratio,
+            maintenance=args.maintenance,
+        )
+        print(
+            f"DELETE_OK n_docs={info.n_docs} run={info.stages_run} "
             f"skipped={info.stages_skipped}"
         )
     elif args.cmd == "stats":

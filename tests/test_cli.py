@@ -86,3 +86,12 @@ def test_cli_maintenance_commands(tmp_path, spark):
 
     out = _run("search", "--warehouse", wh, "--query", "clichurntok", "--k", "3")
     assert out.count("'rank'") == 3
+
+    # takedown through the CLI: 10 keys removed without content
+    keys_src = str(tmp_path / "delkeys.parquet")
+    docs.select("repo", "path", "commit").orderBy("path").limit(10) \
+        .write.parquet(keys_src)
+    out = _run("delete", "--keys", keys_src, "--warehouse", wh)
+    assert "DELETE_OK n_docs=110" in out
+    stats = json.loads(_run("stats", "--warehouse", wh).strip().splitlines()[-1])
+    assert stats["n_docs"] == 110
