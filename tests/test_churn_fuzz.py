@@ -16,7 +16,12 @@ over a small stable-id warehouse and, after every step, asserts the
 LIVE corpus manifest matches; at the end it compares full-depth search
 results (and, once fully compacted, the decoded postings fingerprint)
 against a from-scratch stable build of the final corpus.  Seeds are
-fixed — failures reproduce."""
+fixed — failures reproduce.
+
+Each step also randomizes the DELIVERY mode: full snapshot
+(mode="full") vs delta feed (mode="upsert" with only the changed/added
+docs plus the removed keys as ``deletes``) — both must land the
+identical live corpus."""
 
 import random
 
@@ -91,11 +96,39 @@ def test_random_churn_sequences_stay_exact(spark, tmp_path):
         )
 
         for step in range(1, 6):
+            prev = corpus
             corpus = _edit(rng, corpus, step)
             strategy = rng.choice(["shards", "segment", "auto"])
-            incremental_build(
-                spark, _to_df(spark, corpus), wh, strategy=strategy
-            )
+            if rng.random() < 0.5:
+                incremental_build(
+                    spark, _to_df(spark, corpus), wh, strategy=strategy
+                )
+            else:
+                # delta feed: only changed/added docs + removed keys
+                batch = {
+                    p: c for p, c in corpus.items()
+                    if p not in prev or prev[p] != c
+                }
+                removed = sorted(p for p in prev if p not in corpus)
+                dels = None
+                if removed:
+                    dels = spark.createDataFrame(
+                        pd.DataFrame(
+                            [{"repo": "org/r", "path": p, "commit": "c0"}
+                             for p in removed]
+                        )
+                    )
+                batch_df = (
+                    _to_df(spark, batch) if batch
+                    else spark.createDataFrame(
+                        [], "repo string, path string, commit string, "
+                            "lang string, content string"
+                    )
+                )
+                incremental_build(
+                    spark, batch_df, wh, mode="upsert", strategy=strategy,
+                    deletes=dels,
+                )
             maint = rng.random()
             if maint < 0.25:
                 merge_generations(spark, wh)
