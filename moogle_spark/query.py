@@ -128,6 +128,39 @@ class SearchEngine:
         # per-engine spell-suggestion memo (reference: 1 h APC cache,
         # FuzzySearch.php:62-74,133) — created lazily on first fuzzy query
         self._fuzzy_cache = None
+        self._cache_flag = cache
+        self._sig = self._commit_sig()
+
+    def _commit_sig(self) -> tuple:
+        """Identity of the index this engine serves: every mutating op
+        (incremental, delete, merge, compact) re-commits at least one of
+        these manifests under its _TXN swap."""
+        out = []
+        for t in ("analyzed", "postings", "term_stats", "tombstones"):
+            if self.wh.is_committed(t):
+                m = self.wh.manifest(t)
+                out.append(
+                    (t, m.get("build_id"), m.get("analyzed_ref"),
+                     m.get("committed_at"), m.get("n_tombs"))
+                )
+        return tuple(out)
+
+    def refresh(self) -> bool:
+        """Pick up index commits made since this engine was opened.
+
+        The cached postings are a snapshot: an incremental build,
+        delete_docs, or compaction swaps the tables on disk, but an open
+        engine keeps serving its cache indefinitely.  refresh() compares
+        the committed manifests and, only if they moved, unpersists the
+        old cache and re-opens (returns True); a current engine is a
+        pure no-op (False) — safe to call on every request cycle."""
+        if self._commit_sig() == self._sig:
+            return False
+        if self._sharded:
+            self.postings.unpersist()
+            self.term_stats.unpersist()
+        self.__init__(self.spark, self.wh, cache=self._cache_flag)
+        return True
 
     # ------------------------------------------------------------------
     def _candidates(self, terms: list[str], with_df: bool = True) -> DataFrame:

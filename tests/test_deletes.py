@@ -168,6 +168,38 @@ def test_delete_absent_keys_is_noop(spark, tmp_path, base_v1):
     assert _snapshot_files(wh) == before
 
 
+def test_engine_refresh_picks_up_commits(spark, tmp_path, base_v1):
+    """An open engine serves its cached snapshot across index commits;
+    refresh() is a no-op while current and swaps the cache when the
+    committed manifests move."""
+    from moogle_spark.query import SearchEngine
+    from moogle_spark.stable import delete_docs
+
+    q = "def return import"
+    wh = _clone(base_v1, tmp_path, "refresh")
+    eng = SearchEngine(spark, wh, cache=True)
+    top = eng.search(q, k=1, enrich=True).collect()[0]
+    before_ids = [r["doc_id"] for r in eng.search(q, k=5).collect()]
+    assert eng.refresh() is False  # current: pure no-op
+
+    keys = spark.createDataFrame(
+        [(top["repo"], top["path"], top["commit"])],
+        "repo string, path string, commit string",
+    )
+    delete_docs(spark, keys, wh)
+    # still the old snapshot (cache fully materialized by the search)
+    assert [r["doc_id"] for r in eng.search(q, k=5).collect()] == before_ids
+
+    assert eng.refresh() is True
+    got = {
+        (r["repo"], r["path"])
+        for r in eng.search(q, k=500, enrich=True).collect()
+    }
+    assert (top["repo"], top["path"]) not in got
+    assert eng.refresh() is False
+    eng.postings.unpersist()
+
+
 def test_delete_guards(spark, tmp_path, base_v1):
     from moogle_spark.build import incremental_build
     from moogle_spark.corpus import generate_docs
