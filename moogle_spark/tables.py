@@ -343,7 +343,17 @@ class Warehouse:
         files are necessarily younger than the TTL, so it is never
         swept).  Committed tables and the lineage log are never touched;
         on Iceberg proper this maps to snapshot/orphan-file expiry.
-        Returns the removed table names."""
+        Returns the removed table names.
+
+        Runs under the writer lock: the TTL alone protects a live
+        writer's staging only while the writer keeps touching files —
+        a build stalled longer than the TTL (a long Spark stage writes
+        nothing until task commit) would otherwise get its staging
+        swept from under it."""
+        with warehouse_lock(self.root, "expire"):
+            return self._expire_stale_staging_locked(ttl_seconds)
+
+    def _expire_stale_staging_locked(self, ttl_seconds: float) -> list[str]:
         removed: list[str] = []
         now = time.time()
         for name in sorted(os.listdir(self.root)):

@@ -77,6 +77,16 @@ def test_lock_reentrant_and_released_on_error(tmp_path):
     assert not os.path.exists(lockfile)
 
 
+def test_expire_takes_the_lock(tmp_path):
+    from moogle_spark.tables import Warehouse
+
+    root = str(tmp_path / "wh")
+    wh = Warehouse(root)
+    _write_holder(root)
+    with pytest.raises(WarehouseLockedError):
+        wh.expire_stale_staging()
+
+
 def test_build_entry_points_take_the_lock(spark, tmp_path):
     from moogle_spark.build import build_index, incremental_build
     from moogle_spark.corpus import generate_docs
