@@ -373,6 +373,15 @@ def incremental_build(
     ):
         if deletes is not None:
             raise ValueError("deletes requires a committed index")
+        if mode == "upsert" and wh.is_committed("analyzed"):
+            # the fallback rebuilds from ``docs`` — with a committed-but-
+            # stale-format index and a partial upsert batch that would
+            # silently replace the index with the batch's contents
+            raise ValueError(
+                "committed index has format_version != current; an upsert "
+                "batch cannot heal it — re-run with mode='full' and the "
+                "complete corpus (or build_index force=True)"
+            )
         # cold path (no committed index): doc_id_mode picks the id scheme
         # of the FIRST build; later calls route on the committed manifest
         return build_index(

@@ -154,6 +154,10 @@ class SearchEngine:
         the committed manifests and, only if they moved, unpersists the
         old cache and re-opens (returns True); a current engine is a
         pure no-op (False) — safe to call on every request cycle."""
+        # heal any crash journal first, like every other entry point —
+        # otherwise a kill mid-swap leaves the tables a committed old/new
+        # mix and the re-open below would read it as if it were an index
+        self.wh.recover_txn()
         if self._commit_sig() == self._sig:
             return False
         if self._sharded:

@@ -370,6 +370,21 @@ def incremental_build_stable(
         and wh.manifest("analyzed").get("format_version") == FORMAT_VERSION
         and wh.manifest("analyzed").get("doc_id_mode", "rank") == "stable"
     ):
+        # the fallback REBUILDS FROM ``docs`` — only sound when docs is
+        # the whole corpus.  A deletes batch or an upsert batch against a
+        # previously-committed index (old format / rank mode) must never
+        # silently replace that index with the batch's contents.
+        if deletes is not None:
+            raise ValueError(
+                "deletes requires a committed current-format stable index; "
+                "this warehouse needs a full rebuild first"
+            )
+        if mode == "upsert" and wh.is_committed("analyzed"):
+            raise ValueError(
+                "committed index is not a current-format stable warehouse; "
+                "an upsert batch cannot heal it — re-run with mode='full' "
+                "and the complete corpus (or build_index force=True)"
+            )
         return build_index(
             spark, docs, wh, parallel=parallel, doc_id_mode="stable"
         )
@@ -441,7 +456,15 @@ def incremental_build_stable(
                 deletes.select(stable_shard_col(n_shards).alias("shard"))
             )
         batch_shards = sorted({int(r["shard"]) for r in sh.distinct().collect()})
-        old_batch = old.filter(F.col("shard").isin(batch_shards))
+        # match on the base FAMILY, not the raw shard value: segment
+        # generations store shard = gen*n_shards + base (segments.py), and
+        # a gen-resident doc must still be visible to the gate — a raw
+        # equality filter would miss it (silent duplicate on re-upsert,
+        # silent no-op on delete).  pmod over the partition column still
+        # partition-prunes the scan to the families' directories.
+        old_batch = old.filter(
+            F.pmod(F.col("shard"), F.lit(n_shards)).isin(batch_shards)
+        )
     else:
         old_batch = old
     changed = incoming.join(old_batch.select(*GATE), GATE, "left_anti").withColumn(
@@ -723,11 +746,17 @@ def delete_docs(
     removal, so there the supported path is a mode="full" incremental
     with the reduced snapshot."""
     wh = wh if isinstance(wh, Warehouse) else Warehouse(wh)
-    from .build import FORMAT_VERSION  # noqa: F401 (parity with callers)
+    from .build import FORMAT_VERSION
 
     if not wh.is_committed("analyzed"):
         raise ValueError("delete_docs requires a committed index")
-    if wh.manifest("analyzed").get("doc_id_mode", "rank") != "stable":
+    man = wh.manifest("analyzed")
+    if man.get("format_version") != FORMAT_VERSION:
+        raise ValueError(
+            f"warehouse format_version={man.get('format_version')!r} != "
+            f"{FORMAT_VERSION}; rebuild the index before deleting from it"
+        )
+    if man.get("doc_id_mode", "rank") != "stable":
         raise ValueError(
             "delete_docs requires a stable-id warehouse "
             "(build with doc_id_mode='stable'); rank-mode warehouses must "

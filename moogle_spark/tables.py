@@ -25,6 +25,7 @@ import json
 import os
 import shutil
 import socket
+import threading
 import time
 import uuid
 
@@ -54,8 +55,18 @@ class WarehouseLockedError(RuntimeError):
 
 # re-entrancy bookkeeping, keyed by realpath: the maintenance entry points
 # nest (incremental_build -> segment_tail -> compact_segments, delete_docs
-# -> incremental_build_stable), and only the OUTERMOST frame owns the file
-_LOCK_DEPTH: dict[str, int] = {}
+# -> incremental_build_stable), and only the OUTERMOST frame owns the file.
+# THREAD-LOCAL: the nesting it models is strictly same-call-stack — a
+# second thread of the same process must contend on the file like any
+# other writer (it then sees a live same-pid holder and fails fast).
+_LOCK_LOCAL = threading.local()
+
+
+def _lock_depths() -> dict[str, int]:
+    d = getattr(_LOCK_LOCAL, "depths", None)
+    if d is None:
+        d = _LOCK_LOCAL.depths = {}
+    return d
 
 
 @contextlib.contextmanager
@@ -76,12 +87,13 @@ def warehouse_lock(root: str, op: str, stale_after: float = 6 * 3600.0):
     """
     os.makedirs(root, exist_ok=True)
     key = os.path.realpath(root)
-    if _LOCK_DEPTH.get(key, 0) > 0:
-        _LOCK_DEPTH[key] += 1
+    depths = _lock_depths()
+    if depths.get(key, 0) > 0:
+        depths[key] += 1
         try:
             yield
         finally:
-            _LOCK_DEPTH[key] -= 1
+            depths[key] -= 1
         return
     path = os.path.join(root, LOCKFILE)
     payload = json.dumps(
@@ -102,32 +114,54 @@ def warehouse_lock(root: str, op: str, stale_after: float = 6 * 3600.0):
                     holder = json.load(f)
             except (OSError, ValueError):
                 holder = {}
+            # liveness: pid observable only for same-host holders; the
+            # timestamp fallback applies ONLY when liveness is
+            # unobservable — a provably-alive holder is never broken,
+            # however long its op runs
             stale = False
+            alive_known = False
             if (
                 holder.get("host") == socket.gethostname()
                 and isinstance(holder.get("pid"), int)
             ):
                 try:
                     os.kill(holder["pid"], 0)
+                    alive_known = True
                 except ProcessLookupError:
                     stale = True
                 except PermissionError:
-                    pass  # pid exists under another uid — alive
-            if not stale and time.time() - float(holder.get("ts") or 0) > stale_after:
+                    alive_known = True  # pid exists under another uid
+            if (
+                not stale
+                and not alive_known
+                and time.time() - float(holder.get("ts") or 0) > stale_after
+            ):
                 stale = True
             if stale and attempt == 0:
-                with contextlib.suppress(FileNotFoundError):
-                    os.unlink(path)
+                # reclaim via atomic RENAME, not unlink: of N racing
+                # reclaimers exactly one wins the rename (the others see
+                # FileNotFoundError and fall through to the O_EXCL
+                # create, where again exactly one wins) — an unlink here
+                # could delete a FRESH lock another reclaimer just
+                # created
+                grave = f"{path}.stale.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+                try:
+                    os.rename(path, grave)
+                except FileNotFoundError:
+                    pass  # another reclaimer got it first
+                else:
+                    with contextlib.suppress(FileNotFoundError):
+                        os.unlink(grave)
                 continue
             raise WarehouseLockedError(
                 f"warehouse {root} is locked by {holder or 'an unreadable holder'} "
                 f"({LOCKFILE}); remove it if that job is gone"
             ) from None
-    _LOCK_DEPTH[key] = 1
+    depths[key] = 1
     try:
         yield
     finally:
-        _LOCK_DEPTH[key] = 0
+        depths[key] = 0
         with contextlib.suppress(FileNotFoundError):
             os.unlink(path)
 

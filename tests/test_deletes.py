@@ -219,3 +219,69 @@ def test_delete_guards(spark, tmp_path, base_v1):
     build_index(spark, generate_docs(spark, 40), rank_wh, n_shards=4)
     with pytest.raises(ValueError, match="stable"):
         delete_docs(spark, keys, rank_wh)
+
+
+def test_gate_sees_generation_resident_docs(spark, tmp_path, base_v1):
+    """Segment generations store shard = gen*n_shards + base, so the
+    upsert gate's shard pruning must match on the base FAMILY — a raw
+    shard filter would hide gen-resident docs from the gate, turning a
+    re-upsert into a silent duplicate and a delete into a silent no-op
+    (regression: caught live, the engine kept serving a deleted doc)."""
+    from moogle_spark.build import incremental_build
+    from moogle_spark.query import SearchEngine
+    from moogle_spark.stable import delete_docs
+    from moogle_spark.tables import Warehouse
+
+    wh = _clone(base_v1, tmp_path, "genres")
+    v1 = _docs_v1(spark)
+    five = v1.orderBy("path").limit(5)
+    batch1 = five.withColumn(
+        "content", F.concat(F.col("content"), F.lit(" gen1tok"))
+    )
+    incremental_build(spark, batch1, wh, mode="upsert", strategy="segment")
+    n0 = int(Warehouse(wh).manifest("analyzed")["n_docs"])
+
+    # re-upsert the SAME keys (now gen-resident) with new content:
+    # must replace, not duplicate
+    batch2 = five.withColumn(
+        "content", F.concat(F.col("content"), F.lit(" gen2tok"))
+    )
+    incremental_build(spark, batch2, wh, mode="upsert", strategy="segment")
+    assert int(Warehouse(wh).manifest("analyzed")["n_docs"]) == n0
+    eng = SearchEngine(spark, wh, cache=False)
+    assert eng.search("gen2tok", k=20).count() == 5
+    assert eng.search("gen1tok", k=20).count() == 0  # old gen rows dead
+
+    # delete two gen-resident keys: must take effect
+    delete_docs(spark, five.limit(2).select("repo", "path", "commit"), wh)
+    assert int(Warehouse(wh).manifest("analyzed")["n_docs"]) == n0 - 2
+    eng2 = SearchEngine(spark, wh, cache=False)
+    assert eng2.search("gen2tok", k=20).count() == 3
+
+
+def test_stale_format_never_wiped_by_batch_ops(spark, tmp_path, base_v1):
+    """A committed index whose format_version is behind must REFUSE
+    deletes/upsert batches instead of silently rebuilding the index
+    from the batch's contents (which for delete_docs is an empty frame
+    — i.e. wiping the index)."""
+    import json
+
+    from moogle_spark.build import incremental_build
+    from moogle_spark.stable import delete_docs
+    from moogle_spark.tables import MANIFEST
+
+    wh = _clone(base_v1, tmp_path, "oldfmt")
+    mpath = os.path.join(wh, "analyzed", MANIFEST)
+    man = json.load(open(mpath))
+    man["format_version"] = man["format_version"] - 1
+    json.dump(man, open(mpath, "w"))
+
+    keys = _del_keys(spark, 3)
+    with pytest.raises(ValueError, match="format_version|current-format"):
+        delete_docs(spark, keys, wh)
+    with pytest.raises(ValueError, match="mode='full'"):
+        incremental_build(
+            spark, _docs_v1(spark).limit(3), wh, mode="upsert",
+        )
+    # the index is untouched by either refusal
+    assert os.path.exists(os.path.join(wh, "postings", MANIFEST))

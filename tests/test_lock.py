@@ -62,6 +62,44 @@ def test_lock_reclaims_stale_cross_host(tmp_path):
             pass
 
 
+def test_lock_never_breaks_alive_holder_on_age(tmp_path):
+    """The stale_after fallback applies only when pid liveness is
+    unobservable: a same-host holder whose pid is ALIVE keeps its lock
+    no matter how old the timestamp (a >6h build is legitimate)."""
+    root = str(tmp_path / "wh")
+    _write_holder(root, ts=time.time() - 48 * 3600)  # our pid: alive
+    with pytest.raises(WarehouseLockedError):
+        with warehouse_lock(root, "op", stale_after=6 * 3600):
+            pass
+
+
+def test_lock_excludes_second_thread(tmp_path):
+    """Re-entrancy is same-call-stack only: another thread of the same
+    process contends on the file and fails fast."""
+    import threading
+
+    root = str(tmp_path / "wh")
+    errs = []
+
+    def contender():
+        try:
+            with warehouse_lock(root, "op"):
+                errs.append("acquired")
+        except WarehouseLockedError:
+            errs.append("locked")
+
+    with warehouse_lock(root, "outer"):
+        t = threading.Thread(target=contender)
+        t.start()
+        t.join()
+    assert errs == ["locked"]
+    # and once released, a new thread can acquire
+    t2 = threading.Thread(target=contender)
+    t2.start()
+    t2.join()
+    assert errs == ["locked", "acquired"]
+
+
 def test_lock_reentrant_and_released_on_error(tmp_path):
     root = str(tmp_path / "wh")
     lockfile = os.path.join(root, LOCKFILE)
