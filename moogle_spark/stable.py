@@ -456,15 +456,21 @@ def incremental_build_stable(
                 deletes.select(stable_shard_col(n_shards).alias("shard"))
             )
         batch_shards = sorted({int(r["shard"]) for r in sh.distinct().collect()})
-        # match on the base FAMILY, not the raw shard value: segment
-        # generations store shard = gen*n_shards + base (segments.py), and
-        # a gen-resident doc must still be visible to the gate — a raw
-        # equality filter would miss it (silent duplicate on re-upsert,
-        # silent no-op on delete).  pmod over the partition column still
-        # partition-prunes the scan to the families' directories.
-        old_batch = old.filter(
-            F.pmod(F.col("shard"), F.lit(n_shards)).isin(batch_shards)
-        )
+        # match every GENERATION of the batch families, not just the base
+        # shard value: segment generations store shard = gen*n_shards +
+        # base (segments.py), and a gen-resident doc must still be
+        # visible to the gate — a base-only filter would miss it (silent
+        # duplicate on re-upsert, silent no-op on delete).  The physical
+        # ids are enumerated explicitly because a plain isin on the
+        # partition column is what Spark provably turns into
+        # PartitionFilters (an equivalent pmod() predicate is not pruned).
+        max_gen = int(man.get("max_gen", 0))
+        phys = [
+            g * n_shards + s
+            for s in batch_shards
+            for g in range(max_gen + 1)
+        ]
+        old_batch = old.filter(F.col("shard").isin(phys))
     else:
         old_batch = old
     changed = incoming.join(old_batch.select(*GATE), GATE, "left_anti").withColumn(

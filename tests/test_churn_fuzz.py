@@ -53,9 +53,20 @@ def _to_df(spark, corpus: dict[str, str]):
     return spark.createDataFrame(pd.DataFrame(rows))
 
 
-def _edit(rng: random.Random, corpus: dict[str, str], step: int) -> dict[str, str]:
+def _edit(
+    rng: random.Random, corpus: dict[str, str], step: int,
+    recent: list[str] = (),
+) -> dict[str, str]:
     out = dict(corpus)
-    for p in rng.sample(sorted(out), k=min(len(out), rng.randint(1, 8))):
+    targets = rng.sample(sorted(out), k=min(len(out), rng.randint(1, 8)))
+    # bias toward re-touching RECENTLY churned docs: after a segment run
+    # they live in generation partitions, and the staleness gate must
+    # still see them (regression class: gen-resident docs invisible to a
+    # mis-pruned gate -> silent duplicates / missed deletes)
+    rec = [p for p in recent if p in out]
+    if rec:
+        targets += rng.sample(rec, k=min(len(rec), rng.randint(1, 3)))
+    for p in dict.fromkeys(targets):
         op = rng.random()
         if op < 0.5:
             out[p] = out[p] + f" fuzz{step}tok " + rng.choice(WORDS)
@@ -95,9 +106,14 @@ def test_random_churn_sequences_stay_exact(spark, tmp_path):
             doc_id_mode="stable",
         )
 
+        recent: list[str] = []
         for step in range(1, 6):
             prev = corpus
-            corpus = _edit(rng, corpus, step)
+            corpus = _edit(rng, corpus, step, recent=recent)
+            recent = sorted(
+                p for p in corpus
+                if p not in prev or prev[p] != corpus[p]
+            )
             strategy = rng.choice(["shards", "segment", "auto"])
             if rng.random() < 0.5:
                 incremental_build(
