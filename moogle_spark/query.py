@@ -151,19 +151,36 @@ class SearchEngine:
         The cached postings are a snapshot: an incremental build,
         delete_docs, or compaction swaps the tables on disk, but an open
         engine keeps serving its cache indefinitely.  refresh() compares
-        the committed manifests and, only if they moved, unpersists the
-        old cache and re-opens (returns True); a current engine is a
-        pure no-op (False) — safe to call on every request cycle."""
-        # heal any crash journal first, like every other entry point —
-        # otherwise a kill mid-swap leaves the tables a committed old/new
-        # mix and the re-open below would read it as if it were an index
-        self.wh.recover_txn()
+        the committed manifests and, only if they moved, re-opens and
+        swaps (returns True); a current engine is a pure no-op (False) —
+        safe to call on every request cycle.
+
+        Swap is BUILD-NEW-FIRST: the replacement state (manifest reads,
+        table scans, fresh caches) is fully constructed on a private
+        engine instance before any attribute of this one changes, so a
+        failure mid-refresh (writer mid-commit, format drift) raises and
+        leaves the serving engine untouched and its caches intact; only
+        after the new state exists are the old caches unpersisted.  The
+        cost is transient 2× cache residency during the swap.  The
+        attribute swap itself is not synchronized against queries running
+        CONCURRENTLY on other threads of this same engine object — those
+        may observe a mix; serve each request from one engine reference
+        and refresh between requests, or front the engine with your own
+        read-write lock if queries and refresh share an instance."""
+        # heal any ORPHANED crash journal first (a kill mid-swap leaves
+        # the tables a committed old/new mix) — lock-guarded, so a LIVE
+        # writer's in-flight journal is left for that writer to finish
+        # rather than racing its replay (see Warehouse.recover_orphaned_txn)
+        self.wh.recover_orphaned_txn()
         if self._commit_sig() == self._sig:
             return False
-        if self._sharded:
-            self.postings.unpersist()
-            self.term_stats.unpersist()
-        self.__init__(self.spark, self.wh, cache=self._cache_flag)
+        old_postings, old_ts = self.postings, self.term_stats
+        old_sharded = self._sharded
+        fresh = SearchEngine(self.spark, self.wh, cache=self._cache_flag)
+        self.__dict__.update(fresh.__dict__)
+        if old_sharded:
+            old_postings.unpersist()
+            old_ts.unpersist()
         return True
 
     # ------------------------------------------------------------------

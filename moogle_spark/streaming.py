@@ -14,6 +14,8 @@ string); tests drive them from a file source over parquet drops.
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -142,6 +144,8 @@ def staleness_gated_batch_fn(
     strategy: str = "shards",
     auto_compact_ratio: float | None = None,
     maintenance: str = "compact",
+    lock_retries: int = 5,
+    lock_backoff_s: float = 2.0,
 ):
     """batch_fn for ``incremental_index_foreachBatch`` with the
     reference's staleness gate (services/indexer/main.py:140-143 skips a
@@ -158,15 +162,34 @@ def staleness_gated_batch_fn(
     count and tombstone mask bounded between batches — the 10^12-file
     queue-drain shape.  The first batch builds the warehouse cold with
     the requested id scheme; later batches route on the committed
-    manifest."""
+    manifest.
+
+    Writer-lock contention: external maintenance (CLI compact / merge /
+    delete_docs) running concurrently with the stream makes the batch's
+    incremental_build fail fast with WarehouseLockedError.  Aborting the
+    whole streaming query over a transient lock would turn routine
+    maintenance into an outage, so the batch fn retries the build up to
+    ``lock_retries`` times with exponential backoff (lock_backoff_s ·
+    2^attempt); a lock still held after the final retry re-raises — at
+    that point the holder is either wedged or running an op long enough
+    that a human should look, and foreachBatch's checkpoint semantics
+    make the re-delivered batch safe to replay."""
 
     def fn(batch_df, batch_id: int) -> None:
         from .build import incremental_build
+        from .tables import WarehouseLockedError
 
-        incremental_build(
-            batch_df.sparkSession, batch_df, warehouse, mode="upsert",
-            n_shards=n_shards, doc_id_mode=doc_id_mode, strategy=strategy,
-            auto_compact_ratio=auto_compact_ratio, maintenance=maintenance,
-        )
+        for attempt in range(lock_retries + 1):
+            try:
+                incremental_build(
+                    batch_df.sparkSession, batch_df, warehouse, mode="upsert",
+                    n_shards=n_shards, doc_id_mode=doc_id_mode, strategy=strategy,
+                    auto_compact_ratio=auto_compact_ratio, maintenance=maintenance,
+                )
+                return
+            except WarehouseLockedError:
+                if attempt == lock_retries:
+                    raise
+                time.sleep(lock_backoff_s * (2 ** attempt))
 
     return fn

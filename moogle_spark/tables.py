@@ -98,7 +98,7 @@ def warehouse_lock(root: str, op: str, stale_after: float = 6 * 3600.0):
     path = os.path.join(root, LOCKFILE)
     payload = json.dumps(
         {"pid": os.getpid(), "host": socket.gethostname(), "op": op,
-         "ts": time.time()}
+         "ts": time.time(), "token": uuid.uuid4().hex}
     )
     for attempt in (0, 1):
         try:
@@ -162,8 +162,33 @@ def warehouse_lock(root: str, op: str, stale_after: float = 6 * 3600.0):
         yield
     finally:
         depths[key] = 0
-        with contextlib.suppress(FileNotFoundError):
-            os.unlink(path)
+        # ownership-verified release: if an op outlived stale_after, a
+        # cross-host peer may have legitimately reclaimed this lock and
+        # re-acquired it — blindly unlinking would delete the NEW
+        # holder's lock file and admit a THIRD writer.  Delete only a
+        # file that still carries OUR payload (the uuid token makes the
+        # match exact); a mismatch means the lock was stolen, which we
+        # surface loudly — the op that just finished ran concurrently
+        # with the thief and the warehouse should be inspected.
+        try:
+            with open(path) as f:
+                current = f.read()
+        except OSError:
+            current = None
+        if current == payload:
+            with contextlib.suppress(FileNotFoundError):
+                os.unlink(path)
+        elif current is not None:
+            import warnings
+
+            warnings.warn(
+                f"warehouse lock at {path} was reclaimed by another writer "
+                f"while op {op!r} was running (op exceeded stale_after="
+                f"{stale_after}s?); leaving the new holder's lock in place — "
+                "verify warehouse integrity",
+                RuntimeWarning,
+                stacklevel=2,
+            )
 
 
 def locked(op: str, param: str):
@@ -195,8 +220,13 @@ class Warehouse:
         # heal a partition-swap journal left by a killed stable-mode
         # incremental (see recover_txn) — centralizing here means EVERY
         # entry point (build, incremental, search, CLI) sees either the
-        # old warehouse or the fully-swapped new one, never a mix
-        self.recover_txn()
+        # old warehouse or the fully-swapped new one, never a mix.
+        # ORPHANED journals only: a journal whose writer is still alive
+        # is that writer's to finish — replaying it lock-free from a
+        # reader would race the writer's own replay (both run the moves
+        # loop; the reader's rmtree(dst) can destroy a partition the
+        # writer just renamed into place).
+        self.recover_orphaned_txn()
 
     def path(self, name: str) -> str:
         return os.path.join(self.root, name)
@@ -329,12 +359,37 @@ class Warehouse:
             os.fsync(f.fileno())
         os.replace(tmp, self._txn_path())
 
+    def recover_orphaned_txn(self) -> bool:
+        """Reader-safe journal recovery: replay a pending _TXN journal
+        ONLY under the warehouse writer lock.  If a provably-live writer
+        holds the lock, its journal is in-flight, not orphaned — that
+        writer's own commit path will finish it, so we skip (replaying
+        lock-free here would interleave two recover_txn moves loops; the
+        reader's rmtree(dst) can delete a partition the writer just
+        renamed into place, wedging the commit).  A journal whose writer
+        crashed is reclaimed through the lock's normal dead-pid/stale-ts
+        path and replayed here.  Returns True iff a journal was applied.
+
+        Writers already inside a locked op re-enter the lock (depth
+        bookkeeping) and replay immediately, same as before."""
+        if not os.path.exists(self._txn_path()):
+            return False
+        try:
+            with warehouse_lock(self.root, "txn-recover"):
+                return self.recover_txn()
+        except WarehouseLockedError:
+            return False  # live writer owns the journal; it will finish it
+
     def recover_txn(self) -> bool:
         """Apply (or finish applying) a pending swap journal.  Every step
         is idempotent: a move whose source is gone was already applied, a
         promote whose source is no longer committed already happened, and
         manifest rewrites are last-writer-wins from the journal's frozen
-        dicts.  Returns True if a journal was applied."""
+        dicts.  Returns True if a journal was applied.
+
+        Call-side contract: writer paths that already hold the warehouse
+        lock call this directly; lock-free callers (readers) must go
+        through recover_orphaned_txn instead."""
         p = self._txn_path()
         if not os.path.exists(p):
             return False

@@ -285,3 +285,35 @@ def test_stale_format_never_wiped_by_batch_ops(spark, tmp_path, base_v1):
         )
     # the index is untouched by either refusal
     assert os.path.exists(os.path.join(wh, "postings", MANIFEST))
+
+
+def test_refresh_failure_leaves_engine_serving(spark, tmp_path, base_v1):
+    """refresh() builds the replacement state FIRST: if re-open fails
+    (format drift, writer mid-commit), the exception propagates but the
+    serving engine keeps its old snapshot and caches — no partially
+    overwritten attributes, no yanked cache."""
+    import json
+    import os
+
+    from moogle_spark.query import SearchEngine
+
+    q = "def return import"
+    wh = _clone(base_v1, tmp_path, "refreshfail")
+    eng = SearchEngine(spark, wh, cache=True)
+    before = [r["doc_id"] for r in eng.search(q, k=5).collect()]
+
+    mpath = os.path.join(wh, "postings", "_MANIFEST.json")
+    man = json.load(open(mpath))
+    broken = dict(man, format_version=99, committed_at=man["committed_at"] + 1)
+    with open(mpath, "w") as f:
+        json.dump(broken, f)
+    with pytest.raises(ValueError, match="format_version"):
+        eng.refresh()
+    # old snapshot still serves, bit-identically
+    assert [r["doc_id"] for r in eng.search(q, k=5).collect()] == before
+
+    with open(mpath, "w") as f:
+        json.dump(man, f)
+    assert eng.refresh() is False  # back to the original sig: current
+    assert [r["doc_id"] for r in eng.search(q, k=5).collect()] == before
+    eng.postings.unpersist()

@@ -147,3 +147,73 @@ def test_build_entry_points_take_the_lock(spark, tmp_path):
     )
     incremental_build(spark, churn, root, mode="upsert", strategy="segment")
     assert not os.path.exists(os.path.join(root, LOCKFILE))
+
+
+def test_lock_release_is_ownership_checked(tmp_path):
+    """Release verifies the lock file still carries OUR payload: if a
+    peer legitimately reclaimed the lock mid-op (op ran past
+    stale_after), exit must NOT delete the new holder's file — that
+    would admit a third writer."""
+    root = str(tmp_path / "wh")
+    lockfile = os.path.join(root, LOCKFILE)
+    with pytest.warns(RuntimeWarning, match="reclaimed by another writer"):
+        with warehouse_lock(root, "slow-op"):
+            # simulate a cross-host peer reclaiming + re-acquiring
+            _write_holder(root, host="elsewhere", pid=12345)
+    stolen = json.load(open(lockfile))
+    assert stolen["host"] == "elsewhere"  # new holder's file survived
+    os.unlink(lockfile)
+    # normal case: own release still removes the file silently
+    with warehouse_lock(root, "op"):
+        pass
+    assert not os.path.exists(lockfile)
+
+
+def test_reader_replay_skips_live_writer_journal(tmp_path):
+    """Readers (Warehouse.__init__, SearchEngine.refresh) replay crash
+    journals only when ORPHANED: a journal whose writer still holds the
+    lock alive is in-flight — replaying it lock-free would race the
+    writer's own recover_txn moves loop."""
+    from moogle_spark.tables import Warehouse
+
+    root = str(tmp_path / "wh")
+    wh = Warehouse(root)
+    txn = os.path.join(root, "_TXN.json")
+    with open(txn, "w") as f:
+        json.dump({"swaps": [], "promotes": [], "manifests": {}}, f)
+    _write_holder(root)  # live holder (our pid, foreign acquisition)
+    assert wh.recover_orphaned_txn() is False
+    assert os.path.exists(txn)  # left for the live writer to finish
+    # Warehouse construction takes the same reader path
+    Warehouse(root)
+    assert os.path.exists(txn)
+    os.unlink(os.path.join(root, LOCKFILE))
+    assert wh.recover_orphaned_txn() is True  # orphaned now: replayed
+    assert not os.path.exists(txn)
+    assert not os.path.exists(os.path.join(root, LOCKFILE))  # lock released
+
+
+def test_streaming_batch_fn_retries_lock(spark, tmp_path):
+    """A transiently-held writer lock delays a streaming micro-batch
+    instead of aborting the streaming query; a persistently-held lock
+    still raises after bounded retries."""
+    import threading
+
+    from moogle_spark.corpus import generate_docs
+    from moogle_spark.streaming import staleness_gated_batch_fn
+
+    root = str(tmp_path / "wh")
+    docs = generate_docs(spark, 20)
+    _write_holder(root)
+    fn = staleness_gated_batch_fn(root, n_shards=2, lock_retries=1, lock_backoff_s=0.05)
+    with pytest.raises(WarehouseLockedError):
+        fn(docs, 0)
+    # transient: lock vanishes while the batch fn is backing off
+    t = threading.Timer(0.3, os.unlink, args=(os.path.join(root, LOCKFILE),))
+    t.start()
+    fn2 = staleness_gated_batch_fn(root, n_shards=2, lock_retries=6, lock_backoff_s=0.2)
+    fn2(docs, 0)  # must succeed once the lock clears
+    t.join()
+    from moogle_spark.tables import Warehouse
+
+    assert Warehouse(root).is_committed("postings")
