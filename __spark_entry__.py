@@ -342,6 +342,27 @@ def _q_lsh_near_dup(spark, sf_dir):
     )
 
 
+def _q_dup_clusters(spark, sf_dir):
+    from moogle_spark.dedup import near_dup_clusters
+
+    # pair->CLUSTER canonicalization: connected components (alternating
+    # large-star/small-star) over the verified LSH pair graph; cluster_id
+    # = min doc_id of the component (deterministic, recursive-CTE oracle)
+    return near_dup_clusters(
+        _docs(spark, sf_dir), n=3, num_hashes=8, bands=4, threshold=0.1
+    )
+
+
+def _q_dedup_survivors(spark, sf_dir):
+    from moogle_spark.dedup import dedup_keep_one
+
+    # keep-one survivor per cluster (max quality_score, tie min doc_id),
+    # singletons included — the stage a corpus-dedup run actually ships
+    return dedup_keep_one(
+        _docs(spark, sf_dir), n=3, num_hashes=8, bands=4, threshold=0.1
+    )
+
+
 def _q_knn_brute(spark, sf_dir):
     from moogle_spark.simsearch import brute_force_topk
 
@@ -717,6 +738,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "simhash_pairs": _q_simhash_pairs,
         "lsh_near_dup": _q_lsh_near_dup,
+        "dup_clusters": _q_dup_clusters,
+        "dedup_survivors": _q_dedup_survivors,
         # similarity search
         "knn_brute": _q_knn_brute,
         "ivf_centroids": _q_ivf_centroids,
@@ -831,6 +854,35 @@ _FR = "['le', 'la', 'les', 'et', 'est', 'pas', 'pour', 'dans', 'une', 'que']"
 
 _MINHASH8 = ", ".join(
     f"min(md5('{s}:' || shingle)) AS h{s}" for s in range(8)
+)
+
+# verified-LSH pair graph -> connected components, as recursive-CTE SQL:
+# same sig/band/verify chain as the lsh_near_dup oracle, then min-id
+# reachability (reach accumulates (node, reachable) pairs; UNION dedups,
+# so it terminates; min over reachables = the component's canonical id —
+# exactly dedup.connected_components' fixed point).  Prefix with
+# "WITH RECURSIVE {_TOKS}, {_SH}, ".
+_LSH_CC = (
+    f"sig AS (SELECT doc_id, {_MINHASH8} FROM sh GROUP BY doc_id), "
+    "bands AS ("
+    "SELECT doc_id, 0 AS band_id, md5(h0 || '|' || h1) AS bh FROM sig "
+    "UNION ALL SELECT doc_id, 1, md5(h2 || '|' || h3) FROM sig "
+    "UNION ALL SELECT doc_id, 2, md5(h4 || '|' || h5) FROM sig "
+    "UNION ALL SELECT doc_id, 3, md5(h6 || '|' || h7) FROM sig), "
+    "cd AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a "
+    "JOIN bands b ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id), "
+    "sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id), "
+    "c AS (SELECT cd.doc_a, cd.doc_b, count(*) AS common FROM cd "
+    "JOIN sh a ON a.doc_id = cd.doc_a JOIN sh b ON b.doc_id = cd.doc_b "
+    "AND b.shingle = a.shingle GROUP BY 1, 2), "
+    "vp AS (SELECT doc_a, doc_b FROM c JOIN sz x ON x.doc_id = doc_a "
+    "JOIN sz y ON y.doc_id = doc_b "
+    "WHERE round(common / (x.n_sh + y.n_sh - common), 6) >= 0.1), "
+    "edges AS (SELECT doc_a AS u, doc_b AS v FROM vp "
+    "UNION SELECT doc_b, doc_a FROM vp), "
+    "reach(u, v) AS (SELECT u, u FROM (SELECT DISTINCT u FROM edges) n "
+    "UNION SELECT r.u, e.v FROM reach r JOIN edges e ON e.u = r.v), "
+    "cc AS (SELECT u AS doc_id, min(v) AS cluster_id FROM reach GROUP BY u)"
 )
 
 _STOP_RATIO = (
@@ -1109,6 +1161,20 @@ def oracle_sql() -> dict[str, str]:
         "j AS (SELECT doc_a, doc_b, round(common / (x.n_sh + y.n_sh - common), 6) AS jaccard "
         "FROM c JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b) "
         "SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.1 ORDER BY doc_a, doc_b",
+        "dup_clusters": f"WITH RECURSIVE {_TOKS}, {_SH}, {_LSH_CC} "
+        "SELECT doc_id, cluster_id FROM cc ORDER BY doc_id",
+        "dedup_survivors": f"WITH RECURSIVE {_TOKS}, {_SH}, {_LSH_CC}, "
+        f"q AS (SELECT doc_id, round(({_STOP_RATIO}) * 0.4 "
+        f"+ least(len(t) / 100.0, 1.0) * 0.3 + (1 - ({_SYMBOL_RATIO})) * 0.3, 6) "
+        "AS quality_score FROM toks), "
+        "memb AS (SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id, "
+        "q.quality_score FROM documents d JOIN q USING (doc_id) "
+        "LEFT JOIN cc ON cc.doc_id = d.doc_id), "
+        "r AS (SELECT doc_id, cluster_id, quality_score, "
+        "row_number() OVER (PARTITION BY cluster_id ORDER BY quality_score DESC, doc_id) AS rn, "
+        "count(*) OVER (PARTITION BY cluster_id) AS cluster_size FROM memb) "
+        "SELECT doc_id, cluster_id, cluster_size::BIGINT AS cluster_size, quality_score "
+        "FROM r WHERE rn = 1 ORDER BY doc_id",
         "simhash": f"{_SIMHASH} SELECT doc_id, simhash FROM sim ORDER BY doc_id",
         "simhash_pairs": f"{_SIMHASH} "
         "SELECT doc_a, doc_b, hamming FROM ("

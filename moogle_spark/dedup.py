@@ -23,8 +23,11 @@ r=4,b=16 and bucket the band join; both knobs are parameters here.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .textops import tokens_col
 
@@ -306,6 +309,12 @@ def near_dup_pairs_lsh(
     shingle self-join never runs."""
     cand = minhash_lsh_pairs(docs, n, num_hashes, bands, text_col)
     sh = doc_shingles(docs, n, text_col)
+    return _jaccard_verify(cand, sh, threshold)
+
+
+def _jaccard_verify(cand: DataFrame, sh: DataFrame, threshold: float) -> DataFrame:
+    """Exact n-gram Jaccard over CANDIDATE pairs only (shared by the LSH
+    pipeline above and by callers that bring their own candidate set)."""
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -329,4 +338,195 @@ def near_dup_pairs_lsh(
         )
         .filter(F.col("jaccard") >= threshold)
         .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pair -> cluster canonicalization: connected components over the near-dup
+# pair graph + a deterministic keep-one survivor per cluster.  This is the
+# stage that turns candidate PAIRS (the outputs above) into the thing an
+# LLM-corpus dedup run actually ships: one document per duplicate cluster.
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """One large-star round (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14 — public algorithm): for every node u,
+    connect each strictly-LARGER neighbor v to m = min(N(u) ∪ {u}).
+    Input/output edges keep the canonical u > v orientation.  Pure
+    equi-joins and one groupBy — no cartesian anywhere."""
+    nbr = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    m = (
+        nbr.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select("u", F.least("mn", "u").alias("m"))
+    )
+    return (
+        nbr.join(m, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """One small-star round: for every node u (edges oriented u > v, so
+    u's listed neighbors are all SMALLER), connect each neighbor — and u
+    itself — to m = min(N_<(u)).  Output keeps u > v."""
+    m = e.groupBy("u").agg(F.min("v").alias("m"))
+    e1 = e.join(m, "u").select(F.col("v").alias("u"), F.col("m").alias("v"))
+    e2 = m.select("u", F.col("m").alias("v"))
+    return e1.union(e2).filter(F.col("u") != F.col("v")).distinct()
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_rounds: int | None = None,
+    _stats: dict | None = None,
+) -> DataFrame:
+    """Connected components over an undirected pair graph via alternating
+    large-star / small-star rounds.  Returns (doc_id, cluster_id) for
+    every node appearing in ``pairs``, cluster_id = MIN doc_id of the
+    component — deterministic, so the DuckDB recursive-CTE oracle can
+    mirror it exactly.
+
+    Scale shape (the reason this is not one-hop label propagation): each
+    round is two equi-joins plus a groupBy on node id — shuffle keys are
+    node ids, never pair enumerations — and the round count converges in
+    O(log n) (paper bound; a path graph, the worst case for plain
+    min-label propagation's O(diameter), closes in ~log rounds here).
+    Per-round results are eagerly localCheckpoint'ed so the plan stays
+    O(1) deep instead of compounding joins across rounds (same idiom as
+    pagerank.py; on a real cluster use a reliable checkpoint dir).
+    Convergence is detected by (edge count, xxhash64 bit_xor digest)
+    stabilizing — set equality up to a 2^-64 hash collision.
+
+    ``max_rounds`` guards against a non-converging loop (default
+    2·ceil(log2 n) + 8); ``_stats`` (if a dict) receives
+    {"rounds": r, "n_nodes": n} for the scale-shape tests."""
+    e = (
+        pairs.select(F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = (
+        e.select(F.col("u").alias("x"))
+        .union(e.select(F.col("v").alias("x")))
+        .distinct()
+        .count()
+    )
+    if _stats is not None:
+        _stats["n_nodes"] = n_nodes
+    if n_nodes == 0:
+        if _stats is not None:
+            _stats["rounds"] = 0
+        return pairs.sparkSession.createDataFrame([], "doc_id long, cluster_id long")
+    cap = max_rounds if max_rounds is not None else 2 * math.ceil(math.log2(max(n_nodes, 2))) + 8
+    prev_sig = None
+    rounds = 0
+    for rounds in range(1, cap + 1):
+        e = _small_star(_large_star(e)).localCheckpoint(eager=True)
+        # bit_xor: order-independent set digest that cannot overflow
+        # under ANSI mode (sum of 64-bit hashes would); edges are
+        # distinct, so xor-cancellation of repeated rows cannot occur
+        row = e.agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).collect()[0]
+        sig = (int(row["cnt"]), int(row["h"]) if row["h"] is not None else 0)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {cap} rounds "
+            f"({n_nodes} nodes) — raise max_rounds"
+        )
+    if _stats is not None:
+        _stats["rounds"] = rounds
+    # fixed point is a star forest: every non-root has exactly one edge
+    # (u -> component min); roots map to themselves
+    members = e.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
+    roots = e.select(F.col("v").alias("doc_id"), F.col("v").alias("cluster_id")).distinct()
+    return members.union(roots).distinct()
+
+
+def near_dup_clusters(
+    docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """The composed pair→cluster pipeline over a corpus: MinHash-LSH
+    candidates -> exact-Jaccard verification -> connected components.
+    Returns (doc_id, cluster_id) for every doc that belongs to a
+    NON-TRIVIAL cluster (docs with no verified near-dup don't appear —
+    join back to the corpus for singleton rows, as dedup_keep_one does).
+    Ordered by doc_id for the oracle compare."""
+    pairs = near_dup_pairs_lsh(docs, n, num_hashes, bands, threshold, text_col)
+    return connected_components(pairs).orderBy("doc_id")
+
+
+def dedup_keep_one(
+    docs: DataFrame,
+    pairs: DataFrame | None = None,
+    quality: DataFrame | None = None,
+    n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Keep-one survivor selection: every doc lands in a cluster
+    (near-dup component, or a singleton cluster of itself), and exactly
+    one doc per cluster survives — the HIGHEST quality_score, ties broken
+    by MIN doc_id.  Returns survivors only:
+    (doc_id, cluster_id, cluster_size, quality_score), ordered by doc_id.
+
+    ``pairs`` defaults to the verified LSH pipeline above;
+    ``quality`` defaults to textstats.quality_scores(docs) (frozen
+    6-decimal composite, so survivor choice is deterministic and
+    oracle-mirrorable).  The curation pipeline consumes this as its
+    near-dup stage: join survivors back to ``docs`` to materialize the
+    kept corpus.
+
+    Scale: components over pairs (linear, see connected_components) +
+    one broadcast-sized membership join + a window partitioned by
+    cluster_id — cluster sizes are small by construction (near-dup
+    groups), so no skewed window partition."""
+    if pairs is None:
+        pairs = near_dup_pairs_lsh(docs, n, num_hashes, bands, threshold, text_col)
+    if quality is None:
+        from .textstats import quality_scores
+
+        quality = quality_scores(docs, text_col=text_col)
+    cc = connected_components(pairs)
+    membership = (
+        docs.select("doc_id")
+        .join(cc, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
+        )
+    )
+    scored = membership.join(
+        quality.select("doc_id", "quality_score"), "doc_id"
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    wc = Window.partitionBy("cluster_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(wc).cast("long"))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "cluster_id", "cluster_size", "quality_score")
+        .orderBy("doc_id")
     )

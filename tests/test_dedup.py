@@ -135,3 +135,125 @@ def test_simhash_bucketed_at_production_width(spark):
     # prints use the full width: some hash must exceed 32-bit range
     s = simhash(d, bits=60).toPandas()
     assert s["simhash"].abs().max() > 2**32
+
+
+# -------------------- pair -> cluster canonicalization ----------------------
+
+
+def test_cc_transitive_closure_chain(spark):
+    """A~B and B~C without A~C must still land in ONE cluster — clusters
+    are the transitive closure of the pair graph, not the pair list."""
+    from moogle_spark.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12), (12, 13)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        (r["doc_id"], r["cluster_id"])
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (12, 10), (13, 10)}
+
+
+def test_cc_converges_in_log_rounds_on_path_graph(spark):
+    """Scale shape: a path graph is the worst case for one-hop min-label
+    propagation (O(diameter) rounds); large-star/small-star must close it
+    in O(log n) rounds.  128-node path -> bound 2*ceil(log2 128)+8 = 22,
+    observed ~7."""
+    import math
+
+    from moogle_spark.dedup import connected_components
+
+    n = 128
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    stats = {}
+    got = connected_components(pairs, _stats=stats).collect()
+    assert len(got) == n
+    assert all(r["cluster_id"] == 0 for r in got)
+    assert stats["rounds"] <= 2 * math.ceil(math.log2(n)) + 8
+    assert stats["rounds"] <= 10  # empirically ~7; fail loudly on regression
+
+
+def test_cc_rounds_are_equi_join_only(spark):
+    """One large-star/small-star round must stay equi-join + groupBy —
+    no cartesian product, no broadcast nested loop (the pair graph at
+    100 TB scale cannot survive either)."""
+    from moogle_spark.dedup import _large_star, _small_star
+
+    e = spark.createDataFrame(
+        [(5, 1), (7, 2), (9, 5)], "u long, v long"
+    )
+    plan = (
+        _small_star(_large_star(e))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cc_empty_and_self_pairs(spark):
+    from moogle_spark.dedup import connected_components
+
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert connected_components(empty).count() == 0
+    selfp = spark.createDataFrame([(4, 4)], "doc_a long, doc_b long")
+    assert connected_components(selfp).count() == 0  # self-pairs dropped
+
+
+def test_dedup_keep_one_survivor_rule(spark):
+    """Survivor = highest quality_score, tie-broken by min doc_id;
+    singletons survive as their own cluster; every dropped doc shares a
+    cluster with exactly one survivor."""
+    from moogle_spark.dedup import dedup_keep_one
+
+    # doc 3 = BASE + stopword tail: higher stopword_ratio AND length
+    # score -> strictly higher composite quality than its near-dups
+    long_doc = BASE + " the and of to in is for with that this"
+    rows = [
+        (1, BASE),          # cluster {1,2,3}: near-dups
+        (2, BASE),
+        (3, long_doc),      # highest quality in its cluster
+        (4, OTHER),         # singleton
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # explicit pair graph (the LSH path is oracle-checked by the
+    # dup_clusters/dedup_survivors contract rows; banding at 8 hashes is
+    # probabilistic for J~0.55 pairs, so the survivor-RULE test pins its
+    # own candidates): 1~2 and 2~3 chain 3 into the cluster transitively
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "doc_a long, doc_b long"
+    )
+    surv = dedup_keep_one(docs, pairs=pairs).toPandas()
+    by_cluster = {int(r.cluster_id): r for r in surv.itertuples()}
+    assert set(surv["doc_id"]) == {3, 4}
+    assert by_cluster[1].doc_id == 3  # quality beats min-id
+    assert by_cluster[1].cluster_size == 3
+    assert by_cluster[4].cluster_size == 1
+    # tie-break: two identical docs -> equal quality -> min doc_id wins
+    twins = spark.createDataFrame(
+        [(7, BASE), (5, BASE)], "doc_id long, text string"
+    )
+    tsurv = dedup_keep_one(twins, threshold=0.3).toPandas()
+    assert list(tsurv["doc_id"]) == [5]
+    assert list(tsurv["cluster_size"]) == [2]
+
+
+def test_dedup_keep_one_accepts_external_pairs_and_quality(spark):
+    """The composed stage also consumes caller-provided pair/quality
+    tables (e.g. SimHash pairs + a model-based quality column)."""
+    from moogle_spark.dedup import dedup_keep_one
+
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 3)], "doc_a long, doc_b long")
+    quality = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.8)], "doc_id long, quality_score double"
+    )
+    surv = dedup_keep_one(docs, pairs=pairs, quality=quality).toPandas()
+    assert set(surv["doc_id"]) == {2, 3}  # 3 beats 1 on quality
