@@ -17,6 +17,10 @@ probes only the best cell(s), and broadcast-joins the tiny centroid table
 
 from __future__ import annotations
 
+import json
+import os
+import shutil
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -280,6 +284,94 @@ def ivf_topk(
     )
 
 
+IVF_META = "_IVF_META.json"
+
+
+def _ivf_meta(path: str) -> dict:
+    """Index metadata: {"version", "dir", "train_mean_dist", "n_cells",
+    "iters"}.  A pre-maintenance index (no meta file) reads as version 0
+    rooted at ``path`` with an unknown training baseline — fully
+    back-compatible with indexes written before drift maintenance
+    existed."""
+    p = os.path.join(path, IVF_META)
+    if not os.path.exists(p):
+        return {"version": 0, "dir": "", "train_mean_dist": None}
+    with open(p) as f:
+        return json.load(f)
+
+
+def _ivf_dirs(path: str, meta: dict | None = None) -> tuple[str, str]:
+    meta = meta if meta is not None else _ivf_meta(path)
+    base = os.path.join(path, meta.get("dir") or "")
+    return f"{base}/vectors", f"{base}/_centroids"
+
+
+def _ivf_commit_meta(path: str, meta: dict) -> None:
+    """Atomic commit point for a generation switch: fsync'd tmp +
+    os.replace, same protocol as the warehouse manifests."""
+    tmp = os.path.join(path, IVF_META + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f, indent=2)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(path, IVF_META))
+
+
+def _assign_dist_stats(assigned: DataFrame, cent: DataFrame) -> dict:
+    """{n, mean_dist, max_dist}: squared-L2 of each vector to its
+    assigned centroid — one broadcast join, scalar-only collect."""
+    sq = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("centroid"),
+            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    row = (
+        assigned.join(F.broadcast(cent), "cell")
+        .select(sq.alias("d"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("d").alias("mean_d"),
+            F.max("d").alias("max_d"),
+        )
+        .collect()[0]
+    )
+    return {
+        "n": int(row["n"]),
+        "mean_dist": float(row["mean_d"]) if row["mean_d"] is not None else 0.0,
+        "max_dist": float(row["max_d"]) if row["max_d"] is not None else 0.0,
+    }
+
+
+def _ivf_write_at(
+    embeddings: DataFrame,
+    base: str,
+    n_cells: int,
+    iters: int,
+    id_col: str,
+) -> float:
+    """Train + materialize one index generation under ``base``; returns
+    the training-time mean assignment distance (the drift baseline)."""
+    cent = kmeans_centroids(embeddings, k=n_cells, iters=iters)
+    assign = kmeans_assign(embeddings, cent, id_col=id_col)
+    assigned = embeddings.join(assign, id_col)
+    (
+        assigned.write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{base}/vectors")
+    )
+    cent.write.mode("overwrite").parquet(f"{base}/_centroids")
+    spark = embeddings.sparkSession
+    stored_cent = spark.read.parquet(f"{base}/_centroids")
+    stats = _assign_dist_stats(
+        spark.read.parquet(f"{base}/vectors"), stored_cent
+    )
+    return stats["mean_dist"]
+
+
 def ivf_index_write(
     embeddings: DataFrame,
     path: str,
@@ -292,16 +384,21 @@ def ivf_index_write(
     of nprobe cells is a partition-PRUNED scan (the non-probed cells'
     files are never opened; `explain` shows the cell filter in
     PartitionFilters).  Centroids are stored alongside as a tiny
-    `_centroids` parquet for probe ranking."""
-    cent = kmeans_centroids(embeddings, k=n_cells, iters=iters)
-    assign = kmeans_assign(embeddings, cent, id_col=id_col)
-    (
-        embeddings.join(assign, id_col)
-        .write.mode("overwrite")
-        .partitionBy("cell")
-        .parquet(f"{path}/vectors")
+    `_centroids` parquet for probe ranking.  The training-time mean
+    assignment distance is recorded in ``_IVF_META.json`` as the drift
+    baseline that ivf_index_append's maintenance policy compares
+    against."""
+    train_mean = _ivf_write_at(embeddings, path, n_cells, iters, id_col)
+    _ivf_commit_meta(
+        path,
+        {
+            "version": 0,
+            "dir": "",
+            "train_mean_dist": train_mean,
+            "n_cells": n_cells,
+            "iters": iters,
+        },
     )
-    cent.write.mode("overwrite").parquet(f"{path}/_centroids")
 
 
 def ivf_index_append(
@@ -309,6 +406,8 @@ def ivf_index_append(
     new_vectors: DataFrame,
     path: str,
     id_col: str = "vec_id",
+    maintenance: str | None = None,
+    drift_ratio: float = 2.0,
 ) -> dict:
     """Append vectors to a materialized IVF index WITHOUT retraining:
     assign each new vector to its nearest STORED centroid (broadcast
@@ -318,41 +417,87 @@ def ivf_index_append(
     incremental-ingest path at 100 TB — retraining is O(corpus·iters),
     appending is O(batch).
 
-    Returns drift stats over the appended batch:
-      {"n_appended", "mean_dist", "max_dist"} where dist is the squared
-    L2 to the assigned centroid.  A drift trend (batch mean creeping
-    above the training-time assignment distance) is the retrain signal —
-    stored centroids go stale as the distribution moves; schedule
-    ivf_index_write to re-fit, exactly like FAISS re-training an IVF
-    list.  Scalar-only collect (one row)."""
-    cent = spark.read.parquet(f"{path}/_centroids")
-    assign = kmeans_assign(new_vectors, cent, id_col=id_col)
-    appended = new_vectors.join(assign, id_col)
-    appended.write.mode("append").partitionBy("cell").parquet(f"{path}/vectors")
-    sq = F.aggregate(
-        F.zip_with(
-            F.col("embedding"),
-            F.col("centroid"),
-            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    stats = (
-        appended.join(F.broadcast(cent), "cell")
-        .select(sq.alias("d"))
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.avg("d").alias("mean_d"),
-            F.max("d").alias("max_d"),
-        )
-        .collect()[0]
-    )
-    return {
-        "n_appended": int(stats["n"]),
-        "mean_dist": float(stats["mean_d"]) if stats["mean_d"] is not None else 0.0,
-        "max_dist": float(stats["max_d"]) if stats["max_d"] is not None else 0.0,
-    }
+    Returns drift stats over the appended batch: {"n_appended",
+    "mean_dist", "max_dist", "baseline_mean_dist", "version",
+    "retrained"} where dist is the squared L2 to the assigned centroid.
+
+    ``maintenance="retrain"`` ACTS on the drift signal (an unattended
+    append-forever store otherwise degrades recall with no tripwire):
+    when the batch's mean assignment distance exceeds ``drift_ratio`` ×
+    the stored training-time baseline, the quantizer is re-fit over the
+    FULL stored corpus into a new generation directory and committed by
+    an atomic ``_IVF_META.json`` replace — readers resolve the current
+    generation through the meta, so a kill anywhere leaves either the
+    old or the new index, never a mix; stale generation dirs are swept
+    on the next retrain.  Same tiered-maintenance philosophy as the
+    postings index: appends stay O(batch), the occasional retrain is the
+    amortized O(corpus) repair, and the trigger is a measured ratio, not
+    a schedule.  With ``maintenance=None`` the stats are returned for
+    the caller to act on (previous behavior).
+
+    The whole op runs under the index writer lock (tables.warehouse_lock
+    on ``path``): an append racing a retrain would land rows in a
+    generation the retrain is about to supersede — losing them."""
+    from .tables import warehouse_lock
+
+    with warehouse_lock(path, "ivf-append"):
+        meta = _ivf_meta(path)
+        vecdir, centdir = _ivf_dirs(path, meta)
+        cent = spark.read.parquet(centdir)
+        assign = kmeans_assign(new_vectors, cent, id_col=id_col)
+        appended = new_vectors.join(assign, id_col)
+        appended.write.mode("append").partitionBy("cell").parquet(vecdir)
+        stats = _assign_dist_stats(appended, cent)
+        baseline = meta.get("train_mean_dist")
+        out = {
+            "n_appended": stats["n"],
+            "mean_dist": stats["mean_dist"],
+            "max_dist": stats["max_dist"],
+            "baseline_mean_dist": baseline,
+            "version": int(meta.get("version", 0)),
+            "retrained": False,
+        }
+        if (
+            maintenance == "retrain"
+            and baseline is not None
+            and baseline > 0
+            and stats["mean_dist"] > drift_ratio * baseline
+        ):
+            new_version = int(meta.get("version", 0)) + 1
+            gen = f"gen-{new_version}"
+            all_vecs = spark.read.parquet(vecdir).drop("cell")
+            n_cells = int(meta.get("n_cells") or cent.count())
+            iters = int(meta.get("iters") or 2)
+            train_mean = _ivf_write_at(
+                all_vecs, os.path.join(path, gen), n_cells, iters, id_col
+            )
+            old_dir = meta.get("dir") or ""
+            _ivf_commit_meta(
+                path,
+                {
+                    "version": new_version,
+                    "dir": gen,
+                    "train_mean_dist": train_mean,
+                    "n_cells": n_cells,
+                    "iters": iters,
+                },
+            )
+            # post-commit sweep of superseded data (best-effort: a kill
+            # here leaves orphans the next retrain's sweep removes)
+            if old_dir:
+                shutil.rmtree(os.path.join(path, old_dir), ignore_errors=True)
+            else:
+                shutil.rmtree(os.path.join(path, "vectors"), ignore_errors=True)
+                shutil.rmtree(os.path.join(path, "_centroids"), ignore_errors=True)
+            for d in os.listdir(path):
+                if d.startswith("gen-") and d != gen:
+                    shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+            out.update(
+                retrained=True,
+                version=new_version,
+                new_train_mean_dist=train_mean,
+            )
+        return out
 
 
 def ivf_search_indexed(
@@ -368,7 +513,8 @@ def ivf_search_indexed(
     `cell IN (...)` is a partition filter, so scan cost is
     O(probed cells), not O(corpus), at any scale."""
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    cent = spark.read.parquet(f"{path}/_centroids")
+    vecdir, centdir = _ivf_dirs(path)  # resolve the committed generation
+    cent = spark.read.parquet(centdir)
     probe = [
         int(r["cell"])
         for r in cent.select(
@@ -378,7 +524,7 @@ def ivf_search_indexed(
         .limit(nprobe)
         .collect()
     ]
-    vecs = spark.read.parquet(f"{path}/vectors").filter(F.col("cell").isin(probe))
+    vecs = spark.read.parquet(vecdir).filter(F.col("cell").isin(probe))
     return (
         vecs.select(
             *_carry_cols(vecs, id_col),

@@ -250,3 +250,126 @@ def test_ivf_index_append_without_retrain(spark, emb, tmp_path):
         for r in ivf_search_indexed(spark, path, v2, k=5, nprobe=2).collect()
     )
     assert len(exact & approx) / 5 >= 0.8
+
+
+def test_ivf_drift_triggered_retrain(spark, tmp_path):
+    """Drift maintenance (round-4 verdict item 2): appends from a region
+    the stored quantizer never saw degrade nprobe=1 recall; with
+    maintenance="retrain" the batch-mean-vs-baseline ratio trips, the
+    quantizer re-fits over the full stored corpus into a new generation
+    committed by an atomic meta replace, and recall recovers."""
+    import shutil as _sh
+
+    from moogle_spark.simsearch import (
+        _ivf_meta,
+        brute_force_topk,
+        ivf_index_append,
+        ivf_index_write,
+        ivf_search_indexed,
+    )
+
+    def mk(center, n, start_id, amp=0.5):
+        rows = []
+        for i in range(n):
+            v = list(center)
+            for d in range(4):
+                v[d] = float(v[d] + amp * (((start_id + i) * 31 + d * 7) % 11 - 5) / 5.0)
+            rows.append((start_id + i, [float(x) for x in v], 0))
+        return rows
+
+    schema = "vec_id long, embedding array<float>, label int"
+    base = spark.createDataFrame(
+        mk([10.0, 0, 0, 0], 20, 0) + mk([0, 10.0, 0, 0], 20, 100), schema
+    )
+    # drifted cluster C at (0,0,10,0), jittered on dims 0/1 so its points
+    # straddle the A/B centroid bisector — the stored quantizer SPLITS C
+    # across two cells, so an nprobe=1 query near C can only see half
+    crows = []
+    for i in range(20):
+        a = 1.0 if i % 2 == 0 else -1.0
+        crows.append(
+            (200 + i, [float(0.8 * a * (1 + (i % 5) / 10)), float(-0.8 * a), 10.0, 0.0], 0)
+        )
+    cdf = spark.createDataFrame(crows, schema)
+
+    p_plain = str(tmp_path / "ivf_plain")
+    p_maint = str(tmp_path / "ivf_maint")
+    ivf_index_write(base, p_plain, n_cells=3, iters=3)
+    _sh.copytree(p_plain, p_maint)
+
+    q = [0.0, 0.0, 10.0, 0.0]
+    exact = {int(r["vec_id"]) for r in brute_force_topk(base.unionByName(cdf), q, k=10).collect()}
+
+    # unmaintained: drift reported but not acted on; recall degrades
+    s_plain = ivf_index_append(spark, cdf, p_plain)
+    assert s_plain["retrained"] is False
+    assert s_plain["mean_dist"] > 10 * s_plain["baseline_mean_dist"]
+    got_plain = {
+        int(r["vec_id"])
+        for r in ivf_search_indexed(spark, p_plain, q, k=10, nprobe=1).collect()
+    }
+    assert len(exact & got_plain) / 10 < 0.9  # the tripwire-less failure mode
+
+    # maintained: policy fires, generation bumps atomically, recall recovers
+    s_maint = ivf_index_append(spark, cdf, p_maint, maintenance="retrain", drift_ratio=1.5)
+    assert s_maint["retrained"] is True
+    assert s_maint["version"] == 1
+    meta = _ivf_meta(p_maint)
+    assert meta["dir"] == "gen-1" and meta["version"] == 1
+    assert meta["train_mean_dist"] < s_maint["mean_dist"] / 10  # re-fit is tight again
+    got_maint = {
+        int(r["vec_id"])
+        for r in ivf_search_indexed(spark, p_maint, q, k=10, nprobe=1).collect()
+    }
+    assert len(exact & got_maint) / 10 >= 0.9
+    # superseded generation swept after the commit
+    import os as _os
+
+    assert not _os.path.exists(_os.path.join(p_maint, "vectors"))
+    assert not _os.path.exists(_os.path.join(p_maint, "_centroids"))
+
+
+def test_ivf_maintenance_no_false_trigger_and_lock(spark, tmp_path):
+    """An in-distribution append under maintenance="retrain" must NOT
+    retrain (centroids byte-stable, version 0); the append takes the
+    index writer lock, so a concurrently-held lock fails fast."""
+    import json as _json
+    import os as _os
+    import socket as _socket
+    import time as _time
+
+    from moogle_spark.simsearch import _ivf_meta, ivf_index_append, ivf_index_write
+    from moogle_spark.tables import LOCKFILE, WarehouseLockedError
+
+    schema = "vec_id long, embedding array<float>, label int"
+    base = spark.createDataFrame(
+        [(i, [float(10 + (i % 7) / 10.0), float((i % 5) / 10.0), 0.0, 0.0], 0) for i in range(30)],
+        schema,
+    )
+    path = str(tmp_path / "ivf")
+    ivf_index_write(base, path, n_cells=2, iters=2)
+    before = sorted(
+        (int(r["cell"]), tuple(float(x) for x in r["centroid"]))
+        for r in spark.read.parquet(f"{path}/_centroids").collect()
+    )
+    indist = spark.createDataFrame(
+        [(1000 + i, [float(10 + (i % 7) / 10.0), float((i % 5) / 10.0), 0.0, 0.0], 0) for i in range(5)],
+        schema,
+    )
+    s = ivf_index_append(spark, indist, path, maintenance="retrain", drift_ratio=1.5)
+    assert s["retrained"] is False and s["version"] == 0
+    after = sorted(
+        (int(r["cell"]), tuple(float(x) for x in r["centroid"]))
+        for r in spark.read.parquet(f"{path}/_centroids").collect()
+    )
+    assert after == before
+    assert _ivf_meta(path)["version"] == 0
+
+    # writer lock: a foreign live holder excludes the append
+    with open(_os.path.join(path, LOCKFILE), "w") as f:
+        _json.dump(
+            {"pid": _os.getpid(), "host": _socket.gethostname(), "op": "x", "ts": _time.time()},
+            f,
+        )
+    with pytest.raises(WarehouseLockedError):
+        ivf_index_append(spark, indist, path)
