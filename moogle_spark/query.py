@@ -291,9 +291,13 @@ class SearchEngine:
         more time in the scheduler than in scoring (tools/
         multiquery_bench.py measures the gap).
 
-        Blocks shared by multiple queries' terms are decoded once per
-        query (not memoized across queries): decode is ~5% of batch cost
-        and the scorers stay byte-identical to the single-query path."""
+        Blocks shared by multiple queries' terms decode ONCE per shard
+        pass: the scorers share a per-pass (term, block_id) decode memo,
+        so a 10k-query replay whose queries share hot terms pays decode
+        per distinct block, not per (query, block).  Decoded arrays are
+        never mutated by scorers (fancy indexing copies), so results
+        stay byte-identical to search() — asserted in
+        tests/test_engine_parity.py."""
         qterms: list[list[str]] = []
         for q in queries:
             terms = sorted(set(tokenize_query(q)))
@@ -515,6 +519,9 @@ def _make_multi_scorer(qterms: list[list[str]], n_docs: int, avgdl: float, k: in
         dfs = dict(zip(pdf["term"], pdf["df"]))
         by_term = {t: g for t, g in pdf.groupby("term", sort=False)}
         outs: list[pd.DataFrame] = []
+        # one decode memo per shard pass: blocks whose term is shared by
+        # several queries decode once for the whole batch
+        memo: dict = {}
         for qid, terms in enumerate(qterms):
             present = [t for t in terms if t in by_term]
             if not present:
@@ -529,7 +536,10 @@ def _make_multi_scorer(qterms: list[list[str]], n_docs: int, avgdl: float, k: in
             lo = int(sub["first_doc"].min())
             span = int(sub["last_doc"].max()) - lo + 1
             f = _score_exhaustive if mode == "exhaustive" else _score_bmw
-            docs, scores, matches = f(sub, terms_sorted, idf, avgdl, lo, span, k, mask)
+            docs, scores, matches = f(
+                sub, terms_sorted, idf, avgdl, lo, span, k, mask,
+                decode_memo=memo,
+            )
             if len(docs):
                 outs.append(
                     pd.DataFrame(
@@ -709,7 +719,20 @@ def _topk_select(local_hits: np.ndarray, scores: np.ndarray, matches: np.ndarray
     return (sel + lo).astype(np.int64), scores[sel], matches[sel]
 
 
-def _score_exhaustive(pdf, terms_sorted, idf, avgdl, lo, span, k, mask=None):
+def _score_exhaustive(pdf, terms_sorted, idf, avgdl, lo, span, k, mask=None,
+                      decode_memo=None):
+    """``decode_memo`` (search_many): a per-shard-pass dict keyed by the
+    block's raw payload triple (doc_ids, tfs, dls bytes), holding
+    post-mask decoded (ids, tfs, dls) arrays — blocks shared by several
+    queries' term sets decode once per PASS instead of once per query.
+    Keying by VALUE is the only exact choice: (term, block_id) repeats
+    within a shard (block_id restarts per encode run / segment), and
+    object identity is unstable (the Arrow-backed frame materializes a
+    fresh bytes object per access, so ids get recycled mid-pass).  Dict
+    equality makes any hash collision harmless, and hashing the payload
+    is far cheaper than varint-decoding it.  Scorers never mutate decoded
+    arrays (fancy indexing copies), so sharing is safe; the mask is
+    constant within a shard pass, so caching post-mask is exact."""
     scores = np.zeros(span, dtype=np.float64)
     matches = np.zeros(span, dtype=np.int64)
     by_term = {t: g for t, g in pdf.groupby("term", sort=False)}
@@ -722,16 +745,22 @@ def _score_exhaustive(pdf, terms_sorted, idf, avgdl, lo, span, k, mask=None):
         for n, ids_b, tfs_b, dls_b in zip(
             gs["n_docs"], gs["doc_ids"], gs["tfs"], gs["dls"]
         ):
-            n = int(n)
-            ids = codec.decode_doc_ids(ids_b, n)
-            tfs = codec.decode_tfs(tfs_b, n)
-            dls = codec.varint_decode(dls_b, n)
-            if mask is not None:
-                keep = _mask_keep(ids, mask)
-                if not keep.all():
-                    ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
-                    if ids.size == 0:
-                        continue
+            key = (ids_b, tfs_b, dls_b) if decode_memo is not None else None
+            if key is not None and key in decode_memo:
+                ids, tfs, dls = decode_memo[key]
+            else:
+                n = int(n)
+                ids = codec.decode_doc_ids(ids_b, n)
+                tfs = codec.decode_tfs(tfs_b, n)
+                dls = codec.varint_decode(dls_b, n)
+                if mask is not None:
+                    keep = _mask_keep(ids, mask)
+                    if not keep.all():
+                        ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
+                if key is not None:
+                    decode_memo[key] = (ids, tfs, dls)
+            if ids.size == 0:
+                continue
             loc = ids - lo
             scores[loc] += w * bm25_tfpart(tfs, dls, avgdl)
             matches[loc] += 1
@@ -741,7 +770,8 @@ def _score_exhaustive(pdf, terms_sorted, idf, avgdl, lo, span, k, mask=None):
     return _topk_select(hits, scores, matches, lo, k)
 
 
-def _score_bmw(pdf, terms_sorted, idf, avgdl, lo, span, k, mask=None):
+def _score_bmw(pdf, terms_sorted, idf, avgdl, lo, span, k, mask=None,
+               decode_memo=None):
     """Segment-form block-max WAND. Doc space is cut at every block
     boundary; each segment's bound = Σ over terms of the overlapping
     block's idf*tfpart(max_tf, min_dl, avgdl). Segments are scored (exactly, in ascending
@@ -832,14 +862,22 @@ def _score_bmw(pdf, terms_sorted, idf, avgdl, lo, span, k, mask=None):
             bi = int(bi)
             b = blocks[bi]
             if bi not in decoded:
-                ids = codec.decode_doc_ids(b[4], b[7])
-                tfs = codec.decode_tfs(b[5], b[7])
-                dls = codec.varint_decode(b[6], b[7])
-                if mask is not None:
-                    keep = _mask_keep(ids, mask)
-                    if not keep.all():
-                        ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
-                decoded[bi] = (ids, tfs, dls)
+                # cross-query memo (search_many): payload-value key; see
+                # _score_exhaustive for the key/sharing-safety argument
+                key = (b[4], b[5], b[6]) if decode_memo is not None else None
+                if key is not None and key in decode_memo:
+                    decoded[bi] = decode_memo[key]
+                else:
+                    ids = codec.decode_doc_ids(b[4], b[7])
+                    tfs = codec.decode_tfs(b[5], b[7])
+                    dls = codec.varint_decode(b[6], b[7])
+                    if mask is not None:
+                        keep = _mask_keep(ids, mask)
+                        if not keep.all():
+                            ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
+                    decoded[bi] = (ids, tfs, dls)
+                    if key is not None:
+                        decode_memo[key] = decoded[bi]
             ids, tfs, dls = decoded[bi]
             if ids.size == 0:
                 continue

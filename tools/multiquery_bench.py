@@ -75,6 +75,26 @@ def main() -> None:
         "sequential_qps": round(len(queries) / seq_best, 1),
         "batched_qps": round(len(queries) / batch_best, 1),
     }
+
+    # batch-size scaling (round-4 verdict item 5): cycle the reference
+    # set into term-OVERLAPPING batches of growing size — with the
+    # per-pass decode memo, decode cost is per distinct block, so
+    # per-query time must FALL (amortize) as |queries| grows, not hold
+    # at the 40-query level.  sec_per_query across sizes is the check.
+    scaling = {}
+    for size in (40, 200, 1000):
+        batch = [queries[i % len(queries)] + f" q{i}" for i in range(size)]
+        eng.search_many(batch, k=k).collect()  # warm this size
+        best = float("inf")
+        for _ in range(trials):
+            t0 = time.time()
+            eng.search_many(batch, k=k).collect()
+            best = min(best, time.time() - t0)
+        scaling[size] = {
+            "batched_sec": round(best, 3),
+            "ms_per_query": round(1000 * best / size, 2),
+        }
+    out["batch_scaling"] = scaling
     print(json.dumps(out))
 
 
