@@ -60,6 +60,20 @@ MIN_POSTINGS_VERSION = 4
 
 
 class SearchEngine:
+    """``cache=True`` (default, the serving mode): postings are
+    repartitioned by shard once, term-cluster-sorted, and cached — every
+    query then scores over the cached partitions with ZERO exchange.
+
+    ``cache=False`` (the cold fallback): each query pays a parquet scan
+    (term-pruned via row-group stats) plus ONE groupBy("shard") shuffle
+    of the query terms' postings.  Acceptable for one-shot queries
+    (ad-hoc CLI lookups, a single audit query in a batch job) and for
+    memory-constrained executors that cannot hold the cached index;
+    wrong for any sustained query load — the per-query shuffle is work
+    the cached path does once at init.  Measured at 2M docs / 32 cores
+    (BENCH.md sf1 headroom table): cold p50 is several × the cached p50,
+    entirely shuffle+scan overhead."""
+
     def __init__(self, spark: SparkSession, warehouse: str | Warehouse, cache: bool = True):
         self.spark = spark
         self.wh = warehouse if isinstance(warehouse, Warehouse) else Warehouse(warehouse)
