@@ -134,7 +134,14 @@ def curate_corpus(
     doc_id per distinct content.  Returns the kept docs with their
     features.  Cost at scale: the quality gate is a pure column plan
     (pushes into the scan); the only shuffle is the dedup groupBy on the
-    content hash — linear in survivors."""
+    content hash — linear in survivors.
+
+    NEAR-dup removal is the next stage: feed this output's doc_ids to
+    dedup.dedup_keep_one (quality=this frame's quality_score), which
+    clusters the verified LSH pair graph via connected components and
+    keeps the best-quality doc per cluster — see
+    tests/test_textstats_analytics.py::test_curation_then_near_dup for
+    the composed pipeline."""
     q = quality_scores(docs, text_col)
     passing = (
         docs.select("doc_id", text_col)

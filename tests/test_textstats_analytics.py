@@ -109,3 +109,41 @@ def test_curate_corpus_pipeline(spark):
     got = curate_corpus(d, min_quality=0.4, min_tokens=5).toPandas()
     assert list(got["doc_id"]) == [1, 5]
     assert (got["quality_score"] >= 0.4).all()
+
+
+def test_curation_then_near_dup(spark):
+    """The full LLM-pipeline order: quality gate + exact dedup
+    (curate_corpus) -> near-dup cluster keep-one (dedup_keep_one) over
+    the survivors, reusing the curation pass's quality scores.  The
+    planted near-dup pair collapses to its higher-quality member; the
+    exact duplicate never reaches the near-dup stage."""
+    from moogle_spark.dedup import dedup_keep_one
+    from moogle_spark.textstats import curate_corpus
+
+    base = (
+        "the quick brown fox jumps over the lazy dog near the old river "
+        "bank today with many more words to pass the minimum token gate"
+    )
+    near = base + " the and of to in is for with that this"  # higher quality
+    rows = [
+        (1, base),
+        (2, base),          # exact dup of 1 -> dropped by curate_corpus
+        (3, near),          # near-dup of 1 -> clustered, wins on quality
+        (4, "short"),       # fails the token gate
+        (5, "completely different content about spark shuffle partitions "
+            "and parquet row groups repeated enough times to pass the gate "
+            "for this unrelated singleton document in the corpus today"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    curated = curate_corpus(docs, min_quality=0.0, min_tokens=10)
+    assert set(r["doc_id"] for r in curated.collect()) == {1, 3, 5}
+
+    survivors_in = docs.join(curated.select("doc_id"), "doc_id", "semi")
+    pairs = spark.createDataFrame([(1, 3)], "doc_a long, doc_b long")
+    surv = dedup_keep_one(
+        survivors_in,
+        pairs=pairs,
+        quality=curated.select("doc_id", "quality_score"),
+    ).toPandas()
+    assert set(surv["doc_id"]) == {3, 5}
+    assert int(surv.set_index("doc_id").loc[3, "cluster_size"]) == 2
