@@ -49,6 +49,13 @@ from .segments import TOMB
 from .tables import FORMAT_VERSION, Warehouse
 
 RESULT_SCHEMA = "shard int, doc_id long, score double, match_count int"
+
+# search_many decode-memo capacity, in blocks (~128 postings each): hot
+# blocks shared across queries stay memoized; once full, cold blocks
+# fall through to the per-query decode path (freed after each query), so
+# a 10k-query batch over diverse terms cannot balloon the Arrow worker
+# toward the decoded size of every touched block at once.
+DECODE_MEMO_CAP = 4096
 MULTI_RESULT_SCHEMA = (
     "query_id int, shard int, doc_id long, score double, match_count int"
 )
@@ -746,7 +753,10 @@ def _score_exhaustive(pdf, terms_sorted, idf, avgdl, lo, span, k, mask=None,
     equality makes any hash collision harmless, and hashing the payload
     is far cheaper than varint-decoding it.  Scorers never mutate decoded
     arrays (fancy indexing copies), so sharing is safe; the mask is
-    constant within a shard pass, so caching post-mask is exact."""
+    constant within a shard pass, so caching post-mask is exact.  The
+    memo is capped at DECODE_MEMO_CAP blocks — beyond that, cold blocks
+    decode per query as before (bounded worker memory beats decode
+    savings on the long tail)."""
     scores = np.zeros(span, dtype=np.float64)
     matches = np.zeros(span, dtype=np.int64)
     by_term = {t: g for t, g in pdf.groupby("term", sort=False)}
@@ -771,7 +781,7 @@ def _score_exhaustive(pdf, terms_sorted, idf, avgdl, lo, span, k, mask=None,
                     keep = _mask_keep(ids, mask)
                     if not keep.all():
                         ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
-                if key is not None:
+                if key is not None and len(decode_memo) < DECODE_MEMO_CAP:
                     decode_memo[key] = (ids, tfs, dls)
             if ids.size == 0:
                 continue
@@ -890,7 +900,7 @@ def _score_bmw(pdf, terms_sorted, idf, avgdl, lo, span, k, mask=None,
                         if not keep.all():
                             ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
                     decoded[bi] = (ids, tfs, dls)
-                    if key is not None:
+                    if key is not None and len(decode_memo) < DECODE_MEMO_CAP:
                         decode_memo[key] = decoded[bi]
             ids, tfs, dls = decoded[bi]
             if ids.size == 0:

@@ -295,7 +295,7 @@ def _ivf_meta(path: str) -> dict:
     existed."""
     p = os.path.join(path, IVF_META)
     if not os.path.exists(p):
-        return {"version": 0, "dir": "", "train_mean_dist": None}
+        return {"version": 0, "dir": "", "prev_dir": None, "train_mean_dist": None}
     with open(p) as f:
         return json.load(f)
 
@@ -307,14 +307,27 @@ def _ivf_dirs(path: str, meta: dict | None = None) -> tuple[str, str]:
 
 
 def _ivf_commit_meta(path: str, meta: dict) -> None:
-    """Atomic commit point for a generation switch: fsync'd tmp +
-    os.replace, same protocol as the warehouse manifests."""
-    tmp = os.path.join(path, IVF_META + ".tmp")
-    with open(tmp, "w") as f:
-        json.dump(meta, f, indent=2)
-        f.flush()
-        os.fsync(f.fileno())
-    os.replace(tmp, os.path.join(path, IVF_META))
+    """Atomic commit point for a generation switch — the shared fsync'd
+    tmp + os.replace primitive from tables.py."""
+    from .tables import atomic_write_json
+
+    atomic_write_json(os.path.join(path, IVF_META), meta)
+
+
+def _ivf_sweep(path: str, keep: set[str]) -> None:
+    """Remove superseded generation data, KEEPING every dir named in
+    ``keep`` ("" = the root-layout vectors/_centroids pair).  The
+    committed meta always names {dir, prev_dir}: the immediately-
+    superseded generation survives one retrain cycle as read grace —
+    probes are lock-free, so an in-flight query that resolved the old
+    generation must be able to finish its parquet reads; only
+    generations at least two commits old are deleted."""
+    if "" not in keep:
+        shutil.rmtree(os.path.join(path, "vectors"), ignore_errors=True)
+        shutil.rmtree(os.path.join(path, "_centroids"), ignore_errors=True)
+    for d in os.listdir(path):
+        if d.startswith("gen-") and d not in keep:
+            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
 
 
 def _assign_dist_stats(assigned: DataFrame, cent: DataFrame) -> dict:
@@ -387,18 +400,40 @@ def ivf_index_write(
     `_centroids` parquet for probe ranking.  The training-time mean
     assignment distance is recorded in ``_IVF_META.json`` as the drift
     baseline that ivf_index_append's maintenance policy compares
-    against."""
-    train_mean = _ivf_write_at(embeddings, path, n_cells, iters, id_col)
-    _ivf_commit_meta(
-        path,
-        {
-            "version": 0,
-            "dir": "",
-            "train_mean_dist": train_mean,
-            "n_cells": n_cells,
-            "iters": iters,
-        },
-    )
+    against.
+
+    Runs under the index writer lock (same lock ivf_index_append takes),
+    so a rebuild cannot race an append and drop its rows.  Rebuilding
+    over an EXISTING index writes a fresh generation and bumps the
+    version (never overwriting the generation lock-free readers are
+    scanning); the superseded generation survives one cycle as read
+    grace (see _ivf_sweep)."""
+    from .tables import warehouse_lock
+
+    os.makedirs(path, exist_ok=True)
+    with warehouse_lock(path, "ivf-write"):
+        meta = _ivf_meta(path)
+        existing = os.path.exists(os.path.join(path, IVF_META))
+        if existing:
+            version = int(meta.get("version", 0)) + 1
+            gen = f"gen-{version}"
+            prev = meta.get("dir") or ""
+        else:
+            version, gen, prev = 0, "", None
+        base = os.path.join(path, gen) if gen else path
+        train_mean = _ivf_write_at(embeddings, base, n_cells, iters, id_col)
+        _ivf_commit_meta(
+            path,
+            {
+                "version": version,
+                "dir": gen,
+                "prev_dir": prev,
+                "train_mean_dist": train_mean,
+                "n_cells": n_cells,
+                "iters": iters,
+            },
+        )
+        _ivf_sweep(path, {gen, prev if prev is not None else gen})
 
 
 def ivf_index_append(
@@ -477,21 +512,17 @@ def ivf_index_append(
                 {
                     "version": new_version,
                     "dir": gen,
+                    "prev_dir": old_dir,
                     "train_mean_dist": train_mean,
                     "n_cells": n_cells,
                     "iters": iters,
                 },
             )
-            # post-commit sweep of superseded data (best-effort: a kill
-            # here leaves orphans the next retrain's sweep removes)
-            if old_dir:
-                shutil.rmtree(os.path.join(path, old_dir), ignore_errors=True)
-            else:
-                shutil.rmtree(os.path.join(path, "vectors"), ignore_errors=True)
-                shutil.rmtree(os.path.join(path, "_centroids"), ignore_errors=True)
-            for d in os.listdir(path):
-                if d.startswith("gen-") and d != gen:
-                    shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+            # post-commit sweep: the just-superseded generation is KEPT
+            # one cycle as read grace for lock-free in-flight probes;
+            # older generations go (best-effort — a kill here leaves
+            # orphans the next retrain's sweep removes)
+            _ivf_sweep(path, {gen, old_dir})
             out.update(
                 retrained=True,
                 version=new_version,

@@ -53,6 +53,19 @@ class WarehouseLockedError(RuntimeError):
     """Another maintenance job holds this warehouse's writer lock."""
 
 
+def atomic_write_json(path: str, payload: dict) -> None:
+    """THE commit primitive for every JSON marker in this package
+    (manifests, _TXN journals, IVF index meta): write to a sibling tmp,
+    fsync, os.replace.  One implementation so a future durability fix
+    (e.g. fsyncing the parent dir) lands everywhere at once."""
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f, indent=2)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
 # re-entrancy bookkeeping, keyed by realpath: the maintenance entry points
 # nest (incremental_build -> segment_tail -> compact_segments, delete_docs
 # -> incremental_build_stable), and only the OUTERMOST frame owns the file.
@@ -278,12 +291,7 @@ class Warehouse:
             **(meta or {}),
             **(meta_fn() if meta_fn is not None else {}),
         }
-        tmp = os.path.join(p, MANIFEST + ".tmp")
-        with open(tmp, "w") as f:
-            json.dump(man, f, indent=2)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, os.path.join(p, MANIFEST))
+        atomic_write_json(os.path.join(p, MANIFEST), man)
 
     def write_local(
         self, rows: list[dict], columns: dict, name: str, stage: str, meta: dict | None = None
@@ -310,12 +318,7 @@ class Warehouse:
             "committed_at": time.time(),
             **(meta or {}),
         }
-        tmp = os.path.join(p, MANIFEST + ".tmp")
-        with open(tmp, "w") as f:
-            json.dump(man, f, indent=2)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, os.path.join(p, MANIFEST))
+        atomic_write_json(os.path.join(p, MANIFEST), man)
 
     def promote(self, src: str, dst: str) -> None:
         """Atomically-enough replace committed table ``dst`` with
@@ -352,14 +355,9 @@ class Warehouse:
           "promotes": [[src, dst], ...],
           "manifests": {table: full manifest dict}}.
         Every staged source must be committed BEFORE this is called."""
-        tmp = self._txn_path() + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(plan, f, indent=2)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, self._txn_path())
+        atomic_write_json(self._txn_path(), plan)
 
-    def recover_orphaned_txn(self) -> bool:
+    def recover_orphaned_txn(self, wait_s: float = 15.0) -> bool:
         """Reader-safe journal recovery: replay a pending _TXN journal
         ONLY under the warehouse writer lock.  If a provably-live writer
         holds the lock, its journal is in-flight, not orphaned — that
@@ -371,14 +369,33 @@ class Warehouse:
         path and replayed here.  Returns True iff a journal was applied.
 
         Writers already inside a locked op re-enter the lock (depth
-        bookkeeping) and replay immediately, same as before."""
-        if not os.path.exists(self._txn_path()):
-            return False
-        try:
-            with warehouse_lock(self.root, "txn-recover"):
-                return self.recover_txn()
-        except WarehouseLockedError:
-            return False  # live writer owns the journal; it will finish it
+        bookkeeping) and replay immediately, same as before.
+
+        When a LIVE holder owns the lock, we cannot serve yet either —
+        the holder may be mid-moves-loop, and reading now would see the
+        old/new mix this method exists to prevent.  A pending journal is
+        short-lived by construction (begin_txn is immediately followed
+        by recover_txn inside the same locked op), so we POLL briefly:
+        journal gone -> healed by the holder, proceed; lock freed ->
+        acquire and replay ourselves.  Still locked with a journal after
+        the wait means the holder is wedged mid-commit — surfacing that
+        loudly beats silently serving a half-swapped warehouse."""
+        deadline = time.time() + wait_s
+        while True:
+            if not os.path.exists(self._txn_path()):
+                return False
+            try:
+                with warehouse_lock(self.root, "txn-recover"):
+                    return self.recover_txn()
+            except WarehouseLockedError:
+                if time.time() >= deadline:
+                    raise RuntimeError(
+                        f"warehouse {self.root} has a pending _TXN journal and a "
+                        f"live writer lock that did not clear within {wait_s}s — "
+                        "the writer appears wedged mid-commit; inspect/remove "
+                        f"{LOCKFILE} and re-open to replay the journal"
+                    )
+                time.sleep(0.25)
 
     def recover_txn(self) -> bool:
         """Apply (or finish applying) a pending swap journal.  Every step
@@ -412,12 +429,7 @@ class Warehouse:
         for name in plan.get("drops", []):
             shutil.rmtree(self.path(name), ignore_errors=True)
         for name, man in plan.get("manifests", {}).items():
-            mtmp = os.path.join(self.path(name), MANIFEST + ".tmp")
-            with open(mtmp, "w") as f:
-                json.dump(man, f, indent=2)
-                f.flush()
-                os.fsync(f.fileno())
-            os.replace(mtmp, os.path.join(self.path(name), MANIFEST))
+            atomic_write_json(os.path.join(self.path(name), MANIFEST), man)
         for s in plan.get("swaps", []):
             shutil.rmtree(self.path(s["delta"]), ignore_errors=True)
         os.remove(p)

@@ -169,11 +169,15 @@ def test_lock_release_is_ownership_checked(tmp_path):
     assert not os.path.exists(lockfile)
 
 
-def test_reader_replay_skips_live_writer_journal(tmp_path):
+def test_reader_replay_waits_out_live_writer_journal(tmp_path):
     """Readers (Warehouse.__init__, SearchEngine.refresh) replay crash
-    journals only when ORPHANED: a journal whose writer still holds the
-    lock alive is in-flight — replaying it lock-free would race the
-    writer's own recover_txn moves loop."""
+    journals only under the lock.  A journal whose writer still holds
+    the lock alive is in-flight: the reader polls (the writer's own
+    replay clears it in sub-seconds), and a holder that never clears is
+    surfaced as a wedged-commit error rather than silently serving a
+    half-swapped warehouse."""
+    import threading
+
     from moogle_spark.tables import Warehouse
 
     root = str(tmp_path / "wh")
@@ -182,13 +186,21 @@ def test_reader_replay_skips_live_writer_journal(tmp_path):
     with open(txn, "w") as f:
         json.dump({"swaps": [], "promotes": [], "manifests": {}}, f)
     _write_holder(root)  # live holder (our pid, foreign acquisition)
-    assert wh.recover_orphaned_txn() is False
-    assert os.path.exists(txn)  # left for the live writer to finish
-    # Warehouse construction takes the same reader path
-    Warehouse(root)
-    assert os.path.exists(txn)
+    # wedged holder: journal + live lock that never clears -> loud error
+    with pytest.raises(RuntimeError, match="wedged"):
+        wh.recover_orphaned_txn(wait_s=0.6)
+    assert os.path.exists(txn)  # never replayed lock-free
+    # healthy holder: finishes its replay (journal vanishes) mid-poll;
+    # the reader then proceeds without ever taking the journal itself
+    t = threading.Timer(0.4, os.unlink, args=(txn,))
+    t.start()
+    assert wh.recover_orphaned_txn(wait_s=5.0) is False
+    t.join()
+    # orphaned journal (lock gone): reader acquires and replays
+    with open(txn, "w") as f:
+        json.dump({"swaps": [], "promotes": [], "manifests": {}}, f)
     os.unlink(os.path.join(root, LOCKFILE))
-    assert wh.recover_orphaned_txn() is True  # orphaned now: replayed
+    assert wh.recover_orphaned_txn() is True
     assert not os.path.exists(txn)
     assert not os.path.exists(os.path.join(root, LOCKFILE))  # lock released
 

@@ -322,9 +322,24 @@ def test_ivf_drift_triggered_retrain(spark, tmp_path):
         for r in ivf_search_indexed(spark, p_maint, q, k=10, nprobe=1).collect()
     }
     assert len(exact & got_maint) / 10 >= 0.9
-    # superseded generation swept after the commit
+    # the just-superseded generation is KEPT one cycle as read grace for
+    # lock-free in-flight probes (meta.prev_dir), swept on the NEXT retrain
     import os as _os
 
+    assert meta["prev_dir"] == ""
+    assert _os.path.exists(_os.path.join(p_maint, "vectors"))
+    assert _os.path.exists(_os.path.join(p_maint, "_centroids"))
+    # second drifted region -> second retrain: gen-2 current, gen-1 grace,
+    # the original root generation (two commits old) finally swept
+    d2 = spark.createDataFrame(
+        [(300 + i, [0.0, 0.0, 0.0, float(10 + (i % 3))], 0) for i in range(12)],
+        schema,
+    )
+    s2 = ivf_index_append(spark, d2, p_maint, maintenance="retrain", drift_ratio=1.5)
+    assert s2["retrained"] is True and s2["version"] == 2
+    meta2 = _ivf_meta(p_maint)
+    assert meta2["dir"] == "gen-2" and meta2["prev_dir"] == "gen-1"
+    assert _os.path.exists(_os.path.join(p_maint, "gen-1"))
     assert not _os.path.exists(_os.path.join(p_maint, "vectors"))
     assert not _os.path.exists(_os.path.join(p_maint, "_centroids"))
 
