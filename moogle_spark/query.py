@@ -78,8 +78,8 @@ class SearchEngine:
     memory-constrained executors that cannot hold the cached index;
     wrong for any sustained query load — the per-query shuffle is work
     the cached path does once at init.  Measured at 2M docs / 32 cores
-    (BENCH.md sf1 headroom table): cold p50 is several × the cached p50,
-    entirely shuffle+scan overhead."""
+    (BENCH.md sf1 headroom table): cold p50 3.5–9.0 s vs cached 0.72 s
+    (5–12×), entirely shuffle+scan overhead."""
 
     def __init__(self, spark: SparkSession, warehouse: str | Warehouse, cache: bool = True):
         self.spark = spark
