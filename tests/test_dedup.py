@@ -257,3 +257,51 @@ def test_dedup_keep_one_accepts_external_pairs_and_quality(spark):
     )
     surv = dedup_keep_one(docs, pairs=pairs, quality=quality).toPandas()
     assert set(surv["doc_id"]) == {2, 3}  # 3 beats 1 on quality
+
+
+def test_cc_matches_union_find_on_random_graphs(spark):
+    """Property check: connected_components == a driver-side union-find
+    oracle on pseudo-random graphs (deterministic LCG edges, so the test
+    is reproducible) spanning sparse forests to dense multi-component
+    shapes."""
+    from moogle_spark.dedup import connected_components
+
+    def lcg(seed):
+        x = seed
+        while True:
+            x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+            yield x
+
+    for seed, n_nodes, n_edges in ((7, 60, 25), (11, 80, 120), (13, 40, 70)):
+        g = lcg(seed)
+        edges = [
+            (next(g) % n_nodes, next(g) % n_nodes) for _ in range(n_edges)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        # union-find oracle
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = {a for e in edges for a in e}
+        # canonical root = component MIN (matches cluster_id semantics)
+        comp_min: dict[int, int] = {}
+        for v in touched:
+            r = find(v)
+            comp_min[r] = min(comp_min.get(r, v), v)
+        expected = {(v, comp_min[find(v)]) for v in touched}
+
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        got = {
+            (int(r["doc_id"]), int(r["cluster_id"]))
+            for r in connected_components(pairs).collect()
+        }
+        assert got == expected, f"seed={seed}"
