@@ -27,7 +27,6 @@ import math
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from .textops import tokens_col
 
@@ -499,9 +498,11 @@ def dedup_keep_one(
     kept corpus.
 
     Scale: components over pairs (linear, see connected_components) +
-    one broadcast-sized membership join + a window partitioned by
-    cluster_id — cluster sizes are small by construction (near-dup
-    groups), so no skewed window partition."""
+    a membership join + ONE groupBy(cluster_id) whose aggregates
+    (struct-max survivor + count) both have map-side partials — no
+    window, so a pathological mega-cluster (the same boilerplate page
+    duplicated 10^8 times) costs a combine-reduced agg, never a single
+    hot sort partition."""
     if pairs is None:
         pairs = near_dup_pairs_lsh(docs, n, num_hashes, bands, threshold, text_col)
     if quality is None:
@@ -519,14 +520,24 @@ def dedup_keep_one(
     scored = membership.join(
         quality.select("doc_id", "quality_score"), "doc_id"
     )
-    w = Window.partitionBy("cluster_id").orderBy(
-        F.desc("quality_score"), F.asc("doc_id")
-    )
-    wc = Window.partitionBy("cluster_id")
+    # survivor via struct-max: max (quality_score, -doc_id) = highest
+    # quality, ties to the SMALLEST doc_id — identical to the oracle's
+    # row_number() over (quality DESC, doc_id ASC) = 1, but as a plain
+    # aggregate with partial (map-side) combination
+    best = F.max(
+        F.struct(
+            F.col("quality_score"),
+            (-F.col("doc_id")).alias("neg_id"),
+        )
+    ).alias("best")
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .withColumn("cluster_size", F.count(F.lit(1)).over(wc).cast("long"))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", "cluster_id", "cluster_size", "quality_score")
+        scored.groupBy("cluster_id")
+        .agg(best, F.count(F.lit(1)).cast("long").alias("cluster_size"))
+        .select(
+            (-F.col("best.neg_id")).alias("doc_id"),
+            "cluster_id",
+            "cluster_size",
+            F.col("best.quality_score").alias("quality_score"),
+        )
         .orderBy("doc_id")
     )

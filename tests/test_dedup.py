@@ -305,3 +305,22 @@ def test_cc_matches_union_find_on_random_graphs(spark):
             for r in connected_components(pairs).collect()
         }
         assert got == expected, f"seed={seed}"
+
+
+def test_dedup_keep_one_plan_has_no_window(spark):
+    """Survivor selection must stay a partial-aggregable groupBy — a
+    window partitioned by cluster_id would make one mega-cluster a
+    single hot sort partition at scale."""
+    from moogle_spark.dedup import dedup_keep_one
+
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    quality = spark.createDataFrame(
+        [(1, 0.5), (2, 0.6)], "doc_id long, quality_score double"
+    )
+    df = dedup_keep_one(docs, pairs=pairs, quality=quality)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "partial_max" in plan or "HashAggregate" in plan
