@@ -139,18 +139,41 @@ class SearchEngine:
             # never exclude anything.)  Row order within a partition is
             # free to change: scoring groups by shard and sorts blocks
             # itself, so results are identical — asserted by parity tests.
-            self.postings = (
-                self.postings.repartition(n_parts, "shard")
-                .sortWithinPartitions("term", "block_id")
-                .persist()
-            )
-            self.term_stats = self.term_stats.persist()
+            self.postings = self.postings.repartition(
+                n_parts, "shard"
+            ).sortWithinPartitions("term", "block_id")
             self._sharded = True
+            # EAGER materialization: the engine's contract is "serves
+            # the snapshot it was opened on".  Lazy persist() leaves a
+            # window where a writer's partition swap deletes the files
+            # before the first query materializes the cache —
+            # FAILED_READ_FILE mid-serve (caught by
+            # tests/test_concurrent_reader_writer.py).  doc_stats backs
+            # enrich() and is pinned with the rest.
+            self._pin_caches()
         # per-engine spell-suggestion memo (reference: 1 h APC cache,
         # FuzzySearch.php:62-74,133) — created lazily on first fuzzy query
         self._fuzzy_cache = None
         self._cache_flag = cache
         self._sig = self._commit_sig()
+
+    def _pin_caches(self) -> None:
+        """(Re-)register and fully materialize the snapshot caches
+        (postings, term_stats, doc_stats).
+
+        Called from __init__ AND again after refresh() drops the old
+        engine's caches: Spark keys cached plans CANONICALLY, and two
+        scans of the same table path compare equal even after a
+        partition swap replaced every file — so a fresh engine's
+        persist() can silently alias the previous engine's entry, and
+        the old engine's unpersist() then drops the shared entry,
+        leaving the new engine to re-read deleted files mid-serve.
+        Re-persisting after the unpersist registers genuine entries
+        over the fresh file listing; the counts make the snapshot real
+        before any query runs."""
+        for df in (self.postings, self.term_stats, self.doc_stats):
+            df.persist()
+            df.count()
 
     def _commit_sig(self) -> tuple:
         """Identity of the index this engine serves: every mutating op
@@ -195,14 +218,34 @@ class SearchEngine:
         self.wh.recover_orphaned_txn()
         if self._commit_sig() == self._sig:
             return False
-        old_postings, old_ts = self.postings, self.term_stats
-        old_sharded = self._sharded
-        fresh = SearchEngine(self.spark, self.wh, cache=self._cache_flag)
-        self.__dict__.update(fresh.__dict__)
-        if old_sharded:
-            old_postings.unpersist()
-            old_ts.unpersist()
-        return True
+        old = (
+            (self.postings, self.term_stats, self.doc_stats)
+            if self._sharded
+            else None
+        )
+        last_err: Exception | None = None
+        for attempt in range(2):
+            # a writer can commit ANOTHER swap between our manifest read
+            # and the eager cache materialization, deleting the files
+            # mid-open.  One full retry lands on the newer commit; a
+            # second failure is a real problem and propagates (before
+            # the first successful swap the serving engine is intact).
+            try:
+                fresh = SearchEngine(self.spark, self.wh, cache=self._cache_flag)
+                self.__dict__.update(fresh.__dict__)
+                if old is not None:
+                    for df in old:
+                        df.unpersist()
+                    old = None
+                if self._sharded:
+                    # the fresh persist may have ALIASED the old cache
+                    # entries we just dropped — re-pin (see _pin_caches)
+                    self._pin_caches()
+                return True
+            except Exception as e:  # noqa: BLE001 — re-raised after retry
+                last_err = e
+                self.wh.recover_orphaned_txn()
+        raise last_err
 
     # ------------------------------------------------------------------
     def _candidates(self, terms: list[str], with_df: bool = True) -> DataFrame:
