@@ -336,12 +336,15 @@ class SearchEngine:
         k: int = 20,
         mode: str = "bmw",
         fuzzy: bool = False,
+        enrich: bool = False,
     ) -> DataFrame:
         """Batched top-k: score ALL queries in ONE zero-exchange postings
         pass.  Returns (query_id, rank, doc_id, score, match_count) with
         query_id = position in ``queries``; per-query rows are identical
         to ``search(queries[i], k, mode)`` (asserted in
-        tests/test_engine_parity.py).
+        tests/test_engine_parity.py).  ``enrich=True`` joins doc
+        metadata onto the whole batch with ONE broadcast join (the same
+        J2 semantics as enrich(), k·|queries| rows broadcast).
 
         Why a batch form exists: a single search is already one Spark job,
         so an N-query replay pays N× the per-job scheduling floor
@@ -384,10 +387,26 @@ class SearchEngine:
         # shuffle moves k·|queries|·shards rows and no WindowExec
         # single-partition fallback is involved
         w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
-        return (
+        out = (
             scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "rank", "doc_id", "score", "match_count")
+        )
+        if not enrich:
+            return out
+        # batch enrichment: ONE broadcast of the whole k·|queries| result
+        # against the cached doc_stats — same J2 join as enrich(), not a
+        # per-query join fan-out
+        meta = self.doc_stats.select(
+            "doc_id", "repo", "path", "commit", "lang", "doc_len"
+        )
+        return (
+            meta.join(F.broadcast(out), "doc_id", "inner")
+            .orderBy("query_id", "rank")
+            .select(
+                "query_id", "rank", "doc_id", "score", "match_count",
+                "repo", "path", "commit", "lang", "doc_len",
+            )
         )
 
     def search_with_images(

@@ -140,3 +140,16 @@ def test_search_many_all_empty(engine):
     out = engine.search_many(["", "zzqq"], k=5).toPandas()
     assert len(out) == 0
     assert list(out.columns) == ["query_id", "rank", "doc_id", "score", "match_count"]
+
+
+def test_search_many_enrich_parity(engine):
+    """search_many(enrich=True) == per-query search(enrich=True), row
+    for row, via one batch-wide broadcast metadata join."""
+    batch = ["hotterm0", "def return"]
+    got = engine.search_many(batch, k=5, enrich=True).toPandas()
+    cols = ["rank", "doc_id", "score", "match_count", "repo", "path",
+            "commit", "lang", "doc_len"]
+    for qid, q in enumerate(batch):
+        g = got[got["query_id"] == qid].sort_values("rank")[cols]
+        exp = engine.search(q, k=5, enrich=True).toPandas()[cols]
+        assert g.reset_index(drop=True).equals(exp.reset_index(drop=True)), q
