@@ -11,9 +11,11 @@ entry inherits the submitted master/executor topology untouched and only
 sets runtime-modifiable SQL defaults when the submitter didn't.
 
 Commands:
-  build   --input PATH --warehouse PATH [--shards N] [--incremental]
+  build   --input PATH --warehouse PATH [--format parquet|json|csv]
+          [--shards N] [--incremental]
           [--upsert] [--doc-id-mode rank|stable]
           [--strategy shards|segment|auto] [--auto-compact-ratio F]
+  replay  --warehouse PATH --queries FILE [--k N] [--enrich] [--out PATH]
   search  --warehouse PATH --query STR [--k N] [--page N]
           [--mode bmw|exhaustive] [--phrase] [--fuzzy] [--enrich]
   expire  --warehouse PATH [--ttl SECONDS]
@@ -62,7 +64,11 @@ def main(argv: list[str] | None = None) -> int:
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     b = sub.add_parser("build", help="build (or incrementally refresh) the index")
-    b.add_argument("--input", required=True, help="parquet of (repo,path,commit,lang,content)")
+    b.add_argument("--input", required=True, help="corpus of (repo,path,commit,lang,content)")
+    b.add_argument("--format", choices=["parquet", "json", "csv"],
+                   default="parquet",
+                   help="input format; schema-validated + column-pruned "
+                        "either way (corpus.load_corpus)")
     b.add_argument("--warehouse", required=True)
     b.add_argument("--shards", type=int, default=None)
     b.add_argument("--incremental", action="store_true",
@@ -129,6 +135,20 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--maintenance", choices=["compact", "tiered"],
                    default="compact")
 
+    r = sub.add_parser(
+        "replay",
+        help="batched query-log replay: all queries scored in ONE job "
+             "(SearchEngine.search_many)",
+    )
+    r.add_argument("--warehouse", required=True)
+    r.add_argument("--queries", required=True,
+                   help="text file, one query per line (blank lines skipped)")
+    r.add_argument("--k", type=int, default=20)
+    r.add_argument("--enrich", action="store_true")
+    r.add_argument("--out", default=None,
+                   help="optional parquet output path; prints a summary "
+                        "either way")
+
     st = sub.add_parser("stats", help="committed warehouse overview")
     st.add_argument("--warehouse", required=True)
 
@@ -137,8 +157,9 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "build":
         from .build import build_index, incremental_build
+        from .corpus import load_corpus
 
-        docs = spark.read.parquet(args.input)
+        docs = load_corpus(spark, args.input, fmt=args.format)
         if args.incremental:
             info = incremental_build(
                 spark, docs, args.warehouse, n_shards=args.shards,
@@ -169,6 +190,27 @@ def main(argv: list[str] | None = None) -> int:
             )
         for row in out.collect():
             print(row.asDict())
+    elif args.cmd == "replay":
+        import time as _time
+
+        from .query import SearchEngine
+
+        with open(args.queries) as f:
+            queries = [ln.strip() for ln in f if ln.strip()]
+        eng = SearchEngine(spark, args.warehouse)
+        t0 = _time.time()
+        res = eng.search_many(queries, k=args.k, enrich=args.enrich)
+        if args.out:
+            res.write.mode("overwrite").parquet(args.out)
+            n_rows = spark.read.parquet(args.out).count()
+        else:
+            n_rows = res.count()
+        dt = _time.time() - t0
+        print(
+            f"REPLAY_OK queries={len(queries)} rows={n_rows} "
+            f"sec={dt:.2f} qps={len(queries) / dt:.1f}"
+            + (f" out={args.out}" if args.out else "")
+        )
     elif args.cmd == "expire":
         from .tables import Warehouse
 

@@ -183,3 +183,43 @@ def docs_from_driver_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang"),
         F.col("text").alias("content"),
     )
+
+
+CORPUS_COLUMNS = {
+    "repo": "string",
+    "path": "string",
+    "commit": "string",
+    "lang": "string",
+    "content": "string",
+}
+
+
+def load_corpus(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+    """Schema-validated corpus loader for the BASELINE input_hint shape
+    (repo, path, commit, lang, content — all strings).
+
+    Accepts parquet (the native layout; an Iceberg table's data files
+    read identically here), json (one object per line), or csv (with
+    header).  Extra columns are PRUNED (so the build never scans them);
+    missing required columns raise immediately with the full expected
+    shape instead of failing deep inside the tokenizer; non-string
+    arrivals (e.g. csv inference) are cast.  Pure column plan — the
+    projection pushes into the scan."""
+    readers = {
+        "parquet": lambda: spark.read.parquet(path),
+        "json": lambda: spark.read.json(path),
+        "csv": lambda: spark.read.option("header", "true").csv(path),
+    }
+    if fmt not in readers:
+        raise ValueError(f"fmt={fmt!r}: expected one of {sorted(readers)}")
+    df = readers[fmt]()
+    missing = [c for c in CORPUS_COLUMNS if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"corpus at {path} is missing column(s) {missing}; expected "
+            f"the input_hint shape {dict(CORPUS_COLUMNS)} (extra columns "
+            "are allowed and pruned)"
+        )
+    return df.select(
+        *[F.col(c).cast(t).alias(c) for c, t in CORPUS_COLUMNS.items()]
+    )

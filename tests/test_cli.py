@@ -95,3 +95,50 @@ def test_cli_maintenance_commands(tmp_path, spark):
     assert "DELETE_OK n_docs=110" in out
     stats = json.loads(_run("stats", "--warehouse", wh).strip().splitlines()[-1])
     assert stats["n_docs"] == 110
+
+
+def test_load_corpus_formats_and_validation(tmp_path, spark):
+    """corpus.load_corpus: schema-validated, column-pruned, multi-format."""
+    import pytest as _pytest
+
+    from moogle_spark.corpus import generate_docs, load_corpus
+
+    docs = generate_docs(spark, 20)
+    pq = str(tmp_path / "c.parquet")
+    js = str(tmp_path / "c.json")
+    docs.withColumn("extra", docs["repo"]).write.parquet(pq)  # extra col
+    docs.write.json(js)
+
+    for path, fmt in ((pq, "parquet"), (js, "json")):
+        got = load_corpus(spark, path, fmt=fmt)
+        assert got.columns == ["repo", "path", "commit", "lang", "content"]
+        assert got.count() == 20
+    with _pytest.raises(ValueError, match="missing column"):
+        bad = str(tmp_path / "bad.parquet")
+        docs.drop("content").write.parquet(bad)
+        load_corpus(spark, bad)
+    with _pytest.raises(ValueError, match="fmt="):
+        load_corpus(spark, pq, fmt="orc")
+
+
+def test_cli_replay(tmp_path, spark):
+    from moogle_spark.build import build_index
+    from moogle_spark.corpus import generate_docs
+
+    src = str(tmp_path / "docs.parquet")
+    generate_docs(spark, 120).write.parquet(src)
+    wh = str(tmp_path / "wh")
+    _run("build", "--input", src, "--warehouse", wh)
+
+    qfile = tmp_path / "queries.txt"
+    qfile.write_text("hotterm0\ndef return\n\nimport\n")
+    out = _run("replay", "--warehouse", wh, "--queries", str(qfile), "--k", "3")
+    assert "REPLAY_OK queries=3" in out
+    outp = str(tmp_path / "res.parquet")
+    out = _run(
+        "replay", "--warehouse", wh, "--queries", str(qfile),
+        "--k", "3", "--enrich", "--out", outp,
+    )
+    assert "REPLAY_OK queries=3" in out and f"out={outp}" in out
+    res = spark.read.parquet(outp)
+    assert "repo" in res.columns and res.count() > 0
