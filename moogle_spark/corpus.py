@@ -208,7 +208,14 @@ def load_corpus(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFra
     readers = {
         "parquet": lambda: spark.read.parquet(path),
         "json": lambda: spark.read.json(path),
-        "csv": lambda: spark.read.option("header", "true").csv(path),
+        # multiLine + escape: source-code `content` embeds newlines and
+        # quotes in essentially every row; a default csv read would split
+        # records at embedded newlines into silently corrupt rows that
+        # still pass the column check
+        "csv": lambda: spark.read.option("header", "true")
+        .option("multiLine", "true")
+        .option("escape", '"')
+        .csv(path),
     }
     if fmt not in readers:
         raise ValueError(f"fmt={fmt!r}: expected one of {sorted(readers)}")

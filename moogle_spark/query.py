@@ -98,9 +98,14 @@ class SearchEngine:
         self.n_docs = int(cs["n_docs"])
         self.sum_dl = int(cs["sum_dl"])
         self.avgdl = float(self.sum_dl) / float(self.n_docs) if self.n_docs else 1.0
-        self.postings = self.wh.read(spark, "postings")
-        self.term_stats = self.wh.read(spark, "term_stats")
-        self.doc_stats = self.wh.read(spark, "doc_stats")
+        # SNAPSHOT reads (explicit file lists): every engine generation's
+        # plans are canonically distinct, so a re-opened engine can never
+        # alias the previous engine's cache entry or have read()'s
+        # refreshByPath re-cache its pinned plans over swapped files —
+        # see Warehouse.read_snapshot
+        self.postings = self.wh.read_snapshot(spark, "postings")
+        self.term_stats = self.wh.read_snapshot(spark, "term_stats")
+        self.doc_stats = self.wh.read_snapshot(spark, "doc_stats")
         # segmented warehouse (segments.py): fold the tombstones into the
         # postings as per-shard mask rows under the reserved TOMB term —
         # each shard group's scorer then receives its own dead-id mask
@@ -112,13 +117,12 @@ class SearchEngine:
         ) > 0:
             from .segments import tombstone_mask_rows
 
+            tomb = self.wh.read_snapshot(spark, "tombstones")
             self.postings = self.postings.unionByName(
-                tombstone_mask_rows(spark, self.wh)
+                tombstone_mask_rows(spark, self.wh, tomb=tomb)
             )
             self.doc_stats = self.doc_stats.join(
-                self.wh.read(spark, "tombstones").select("doc_id"),
-                "doc_id",
-                "left_anti",
+                tomb.select("doc_id"), "doc_id", "left_anti"
             )
             self._has_tomb = True
         self._sharded = False
@@ -158,22 +162,39 @@ class SearchEngine:
         self._sig = self._commit_sig()
 
     def _pin_caches(self) -> None:
-        """(Re-)register and fully materialize the snapshot caches
-        (postings, term_stats, doc_stats).
+        """Register and fully materialize the snapshot caches (postings,
+        term_stats, doc_stats) — the counts make the snapshot real
+        before __init__ returns, so no query ever lazily re-reads files
+        a concurrent partition swap may have deleted.  Snapshot reads
+        (Warehouse.read_snapshot, explicit file lists) make each engine
+        generation's plans canonically distinct, so these entries never
+        alias another engine's.  A pin that fails mid-way (writer
+        swapped files mid-open) unpersists whatever it already pinned —
+        a failed open must not leak index-sized cache entries."""
+        pinned = []
+        try:
+            for df in (self.postings, self.term_stats, self.doc_stats):
+                df.persist()
+                pinned.append(df)
+                df.count()
+        except Exception:
+            for df in pinned:
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass
+            raise
 
-        Called from __init__ AND again after refresh() drops the old
-        engine's caches: Spark keys cached plans CANONICALLY, and two
-        scans of the same table path compare equal even after a
-        partition swap replaced every file — so a fresh engine's
-        persist() can silently alias the previous engine's entry, and
-        the old engine's unpersist() then drops the shared entry,
-        leaving the new engine to re-read deleted files mid-serve.
-        Re-persisting after the unpersist registers genuine entries
-        over the fresh file listing; the counts make the snapshot real
-        before any query runs."""
-        for df in (self.postings, self.term_stats, self.doc_stats):
-            df.persist()
-            df.count()
+    def unpersist(self) -> None:
+        """Release this engine's pinned snapshot caches (postings,
+        term_stats, doc_stats).  Call when retiring an engine without
+        refresh()-ing it — e.g. test teardown or app shutdown."""
+        if self._sharded:
+            for df in (self.postings, self.term_stats, self.doc_stats):
+                try:
+                    df.unpersist()
+                except Exception:
+                    pass
 
     def _commit_sig(self) -> tuple:
         """Identity of the index this engine serves: every mutating op
@@ -218,34 +239,34 @@ class SearchEngine:
         self.wh.recover_orphaned_txn()
         if self._commit_sig() == self._sig:
             return False
+        last_err: Exception | None = None
+        fresh = None
+        for _attempt in range(2):
+            # a writer can commit ANOTHER swap between our manifest read
+            # and the eager cache materialization, deleting the files
+            # mid-open.  One full retry lands on the newer commit; a
+            # second failure propagates — and leaves THIS engine fully
+            # intact and still pinned (the failed open cleaned up its own
+            # partial pins; snapshot reads mean it cannot have touched
+            # our entries), exactly as the docstring promises.
+            try:
+                fresh = SearchEngine(self.spark, self.wh, cache=self._cache_flag)
+                break
+            except Exception as e:  # noqa: BLE001 — re-raised after retry
+                last_err = e
+                self.wh.recover_orphaned_txn()
+        if fresh is None:
+            raise last_err
         old = (
             (self.postings, self.term_stats, self.doc_stats)
             if self._sharded
             else None
         )
-        last_err: Exception | None = None
-        for attempt in range(2):
-            # a writer can commit ANOTHER swap between our manifest read
-            # and the eager cache materialization, deleting the files
-            # mid-open.  One full retry lands on the newer commit; a
-            # second failure is a real problem and propagates (before
-            # the first successful swap the serving engine is intact).
-            try:
-                fresh = SearchEngine(self.spark, self.wh, cache=self._cache_flag)
-                self.__dict__.update(fresh.__dict__)
-                if old is not None:
-                    for df in old:
-                        df.unpersist()
-                    old = None
-                if self._sharded:
-                    # the fresh persist may have ALIASED the old cache
-                    # entries we just dropped — re-pin (see _pin_caches)
-                    self._pin_caches()
-                return True
-            except Exception as e:  # noqa: BLE001 — re-raised after retry
-                last_err = e
-                self.wh.recover_orphaned_txn()
-        raise last_err
+        self.__dict__.update(fresh.__dict__)
+        if old is not None:
+            for df in old:
+                df.unpersist()
+        return True
 
     # ------------------------------------------------------------------
     def _candidates(self, terms: list[str], with_df: bool = True) -> DataFrame:
@@ -375,7 +396,14 @@ class SearchEngine:
         empty_schema = (
             "query_id int, rank int, doc_id long, score double, match_count int"
         )
+        if enrich:
+            empty_schema += (
+                ", repo string, path string, commit string, lang string, doc_len int"
+            )
         if not all_terms:
+            # schema parity with the non-empty path (and with
+            # search(q, enrich=True)'s _empty): a replay whose queries
+            # all tokenize to nothing must still write the full shape
             return self.spark.createDataFrame([], empty_schema)
         cand = self._candidates(all_terms)
         fn = _make_multi_scorer(qterms, self.n_docs, self.avgdl, k, mode)

@@ -113,7 +113,9 @@ def live_analyzed(spark: SparkSession, wh: Warehouse) -> DataFrame:
     return an
 
 
-def tombstone_mask_rows(spark: SparkSession, wh: Warehouse) -> DataFrame:
+def tombstone_mask_rows(
+    spark: SparkSession, wh: Warehouse, tomb: DataFrame | None = None
+) -> DataFrame:
     """Tombstones encoded as POSTINGS_SCHEMA mask rows (term = TOMB, ids
     delta+varint like any posting block, empty tf/pos/dl payloads).  The
     engine unions these into its cached postings so every shard group's
@@ -146,7 +148,8 @@ def tombstone_mask_rows(spark: SparkSession, wh: Warehouse) -> DataFrame:
             )
         return pd.DataFrame(rows)
 
-    tomb = wh.read(spark, "tombstones")
+    if tomb is None:
+        tomb = wh.read(spark, "tombstones")
     return tomb.groupBy("shard").applyInPandas(enc, POSTINGS_SCHEMA)
 
 

@@ -477,18 +477,21 @@ class Warehouse:
         return removed
 
     def read(self, spark: SparkSession, name: str) -> DataFrame:
+        """Root-path read of a committed table (writers, tools, ad-hoc).
+
+        Historical note: this used to call refreshByPath() to stop a
+        fresh SearchEngine from being served a PREVIOUS engine's cached
+        plan (root-path plans canonicalize equal across partition swaps,
+        so the cache manager aliased them).  That was treating the
+        symptom: refreshByPath RE-CACHES every plan touching the path —
+        including a live engine's pinned snapshot, whose explicit file
+        list then points at swapped-away files (observed FAILED_READ
+        mid-serve).  Engines now read via read_snapshot (explicit file
+        lists, canonically distinct per commit), which removes the
+        aliasing at the source; root-path reads are never persisted, so
+        there is nothing left to invalidate."""
         if not self.is_committed(name):
             raise FileNotFoundError(f"table {name} not committed in {self.root}")
-        # Invalidate any cached data/file-listing for this path: after an
-        # in-session rebuild (promote or partition swap) Spark's cache
-        # manager would otherwise satisfy a NEW read of the same path from
-        # a persisted plan over the OLD files — a fresh SearchEngine then
-        # silently scores the pre-rebuild index (observed: a term indexed
-        # by the incremental was unfindable until session restart).
-        try:
-            spark.catalog.refreshByPath(self.path(name))
-        except Exception:
-            pass  # pre-3.x sessions or exotic catalogs: stale cache risk only
         # read with the schema recorded at commit time: a legitimately
         # EMPTY table (e.g. an empty-corpus build) has no parquet files
         # to infer from, and schema-by-manifest also keeps reads stable
@@ -503,6 +506,47 @@ class Warehouse:
             except Exception:
                 pass  # unparseable/legacy manifest -> fall back to inference
         return spark.read.parquet(self.path(name))
+
+    def read_snapshot(self, spark: SparkSession, name: str) -> DataFrame:
+        """Read a committed table by its EXPLICIT current file list — the
+        isolation primitive behind SearchEngine's pinned caches.
+
+        A root-path read canonicalizes by path, so two reads of the same
+        table across a partition swap produce CANONICALLY EQUAL plans:
+        Spark's CacheManager then aliases a re-opened engine's persist()
+        onto the previous engine's cache entry (serving the OLD snapshot,
+        and dropping the shared entry when either unpersists), and
+        read()'s refreshByPath re-caches the old engine's plans over the
+        NEW files mid-serve.  Enumerating the concrete part files makes
+        every commit's plan canonically distinct — snapshots alias only
+        when they ARE the same files — and freezes the read set even if
+        the directory is swapped later.  ``basePath`` keeps partition
+        columns (shard=N dirs) working.  Listing cost is the same
+        enumeration Spark's InMemoryFileIndex performs anyway; on object
+        stores, drive this from the table manifest instead."""
+        if not self.is_committed(name):
+            raise FileNotFoundError(f"table {name} not committed in {self.root}")
+        root = self.path(name)
+        files = []
+        for dirpath, _dirnames, filenames in os.walk(root):
+            files.extend(
+                os.path.join(dirpath, fn)
+                for fn in filenames
+                if fn.endswith(".parquet")
+            )
+        if not files:
+            return self.read(spark, name)  # legitimately empty table
+        files.sort()
+        reader = spark.read.option("basePath", root)
+        schema_json = self.manifest(name).get("schema", "")
+        if schema_json.startswith("{"):
+            try:
+                from pyspark.sql.types import StructType
+
+                reader = reader.schema(StructType.fromJson(json.loads(schema_json)))
+            except Exception:
+                pass
+        return reader.parquet(*files)
 
     # ---- lineage -------------------------------------------------------
     def append_lineage_rows(self, stage: str, rows: list[dict]) -> None:

@@ -109,10 +109,23 @@ def test_load_corpus_formats_and_validation(tmp_path, spark):
     docs.withColumn("extra", docs["repo"]).write.parquet(pq)  # extra col
     docs.write.json(js)
 
-    for path, fmt in ((pq, "parquet"), (js, "json")):
+    cs = str(tmp_path / "c.csv")
+    docs.write.option("header", "true").option("escape", '"').csv(cs)
+    for path, fmt in ((pq, "parquet"), (js, "json"), (cs, "csv")):
         got = load_corpus(spark, path, fmt=fmt)
         assert got.columns == ["repo", "path", "commit", "lang", "content"]
         assert got.count() == 20
+    # multi-line content must survive csv round-trip intact (the
+    # multiLine/escape options — a default read would shred the rows)
+    ml = spark.createDataFrame(
+        [("r", "p", "c", "py", 'def f():\n    return "x"')],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    mlp = str(tmp_path / "ml.csv")
+    ml.write.option("header", "true").option("escape", '"').csv(mlp)
+    back = load_corpus(spark, mlp, fmt="csv").collect()
+    assert len(back) == 1
+    assert back[0]["content"] == 'def f():\n    return "x"'
     with _pytest.raises(ValueError, match="missing column"):
         bad = str(tmp_path / "bad.parquet")
         docs.drop("content").write.parquet(bad)
@@ -122,7 +135,6 @@ def test_load_corpus_formats_and_validation(tmp_path, spark):
 
 
 def test_cli_replay(tmp_path, spark):
-    from moogle_spark.build import build_index
     from moogle_spark.corpus import generate_docs
 
     src = str(tmp_path / "docs.parquet")

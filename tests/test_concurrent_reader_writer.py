@@ -84,5 +84,4 @@ def test_cached_reader_survives_live_writer(spark, tmp_path):
     ]
     assert final == cold_res
     assert len(final) > 0  # the last batch's token is retrievable
-    eng.postings.unpersist()
-    eng.term_stats.unpersist()
+    eng.unpersist()
