@@ -58,8 +58,7 @@ def main() -> None:
     lat.sort()
     out["cached_p50_sec"] = round(lat[len(lat) // 2], 3)
     out["cached_max_sec"] = round(lat[-1], 3)
-    eng.postings.unpersist()
-    eng.term_stats.unpersist()
+    eng.unpersist()
 
     # cold engine (cache=False): per-query groupBy("shard") shuffle path
     cold = SearchEngine(spark, wh, cache=False)
